@@ -1,0 +1,104 @@
+"""Configuration: same YAML surface as the reference configs.
+
+The reference loads OmegaConf YAML (reference train.py:434, inference.py:74)
+with schema documented in configs/training/stage1-base.yaml. We keep the same
+keys but validate them through dataclasses and eliminate the reference's
+config/hardcode drift (batch_size 24 in yaml vs hardcoded 16, train.py:414).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class DataConfig:
+    train_width: int = 512
+    train_height: int = 512
+    sample_rate: int = 25
+    n_sample_frames: int = 1
+    n_motion_frames: int = 2
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    # Mirrors reference configs/training/stage1-base.yaml:7-41.
+    frame_offset: int = 20
+    checkpoint_path: str = "./checkpoints"
+    save_interval: int = 50
+    log_interval: int = 100
+    batch_size: int = 4
+    num_workers: int = 0
+    lr: float = 1.0e-5
+    base_epochs: int = 100
+    hr_epochs: int = 50
+    student_epochs: int = 100
+    use_gpu_video_tensor: bool = True
+    prev_frames: int = 2
+    video_dir: str = "./junk"
+    sample_rate: int = 25
+    n_sample_frames: int = 100
+    json_file: str = "./data/overfit.json"
+    # Loss weights (stage1-base.yaml:34-41).
+    w_per: float = 20.0
+    w_adv: float = 1.0
+    w_fm: float = 40.0
+    w_cos: float = 2.0
+    w_pairwise: float = 1.0
+    w_identity: float = 1.0
+    w_cyc: float = 1.0
+    # lambda_* family kept for schema compatibility.
+    lambda_perceptual: float = 1.0
+    lambda_adversarial: float = 1.0
+    lambda_cosine: float = 1.0
+    lambda_keypoints: float = 1.0
+    lambda_gaze: float = 1.0
+    lambda_supervised: float = 1.0
+    lambda_unsupervised: float = 1.0
+    # TPU-native additions (no reference counterpart).
+    seed: int = 0
+    use_bf16: bool = True
+    mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
+    steps_per_epoch: Optional[int] = None
+    num_avatars: int = 4
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    checkpoint_path: str = ""
+    source_image: str = ""
+    driving_image: str = ""
+    output_image: str = "output_base.jpg"
+
+
+@dataclasses.dataclass
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
+    inference: InferenceConfig = dataclasses.field(default_factory=InferenceConfig)
+
+
+def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def load_config(path: str) -> Config:
+    """Load a reference-schema YAML file into a validated Config."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = Config()
+    if "data" in raw and raw["data"]:
+        cfg.data = DataConfig(**_filter_fields(DataConfig, raw["data"]))
+    if "training" in raw and raw["training"]:
+        cfg.training = TrainingConfig(
+            **_filter_fields(TrainingConfig, raw["training"])
+        )
+    if "inference" in raw and raw["inference"]:
+        cfg.inference = InferenceConfig(
+            **_filter_fields(InferenceConfig, raw["inference"])
+        )
+    return cfg

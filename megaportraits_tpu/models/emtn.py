@@ -1,0 +1,54 @@
+"""Emtn — motion encoder (reference model.py:869-907).
+
+Outputs per image:
+  * rotation  [B, 3] Euler degrees from the frozen SixDRepNet detector
+    (model.py:876,890; gradients stopped — the reference's detector is a
+    plain attribute outside nn.Module registration, so its weights never
+    receive optimizer updates),
+  * translation [B, 3] — resnet18-with-fc-6 output, last 3 slots
+    (model.py:874-875,898; the first 3 are discarded),
+  * expression [B, 512] — headless resnet18, global pool tiled to 2x2
+    (the reference's AdaptiveAvgPool2d((2,2)) runs *after* the trunk's own
+    1x1 global pool, model.py:880-881), flatten -> Linear(2048 -> 512).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from megaportraits_tpu.models.repvgg import SixDRepNet
+from megaportraits_tpu.models.resnet import ResNet18, _ResNetTrunk, BasicBlock
+from megaportraits_tpu.nn.layers import TorchDense
+
+COMPRESS_DIM = 512
+
+
+class Emtn(nn.Module):
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        p = self.policy
+        x = p.cast_to_compute(x)
+
+        # Frozen head-pose rotation (SixDRepNet, deploy-mode RepVGG-B1g2).
+        _, euler_deg = SixDRepNet(policy=p, name="rotation_net")(x, False)
+        rotation = jax.lax.stop_gradient(euler_deg)
+
+        # Translation from the resnet18 'head pose' net (fc -> 6, keep [3:]).
+        head_pose = ResNet18(num_classes=6, policy=p, name="head_pose_net")(
+            x, train
+        )
+        translation = head_pose[:, 3:].astype(jnp.float32)
+
+        # Expression descriptor.
+        feats = _ResNetTrunk(BasicBlock, (2, 2, 2, 2), policy=p,
+                             name="expression_net")(x, train)
+        pooled = jnp.mean(feats, axis=(1, 2))  # trunk global pool (1x1)
+        tiled = jnp.tile(pooled[:, None, :], (1, 4, 1))  # 2x2 adaptive pool
+        flat = tiled.reshape(x.shape[0], -1)  # [B, 2048]
+        expression = TorchDense(COMPRESS_DIM, policy=p, name="fc")(flat)
+        return rotation, translation, expression.astype(jnp.float32)

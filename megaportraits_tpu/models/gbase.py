@@ -1,0 +1,83 @@
+"""Gbase — the stage-1 one-shot reenactment generator.
+
+Pipeline (reference Gbase.forward, model.py:1140-1180; call stack SURVEY.md
+section 3.2):
+
+    vs, es = Eapp(xs)                      # volume + appearance descriptor
+    Rs, ts, zs = Emtn(xs); Rd, td, zd = Emtn(xd)
+    w_s2c = WarpGenerator(invert=True)(Rs, ts, zs, es)
+    vc = apply_warping_field(vs, w_s2c)    # -> canonical volume
+    vc2d = G3d(vc)
+    w_c2d = WarpGenerator(invert=False)(Rd, td, zd, es)
+    vc2d_warped = apply_warping_field(vc2d, w_c2d)
+    projected = sum over depth             # orthographic projection P
+    xhat = G2d(projected)                  # [B, H, W, 3] in [0, 1]
+    pyramids = anti-aliased {0.5, 0.25} downsamples of xhat
+
+The whole forward is one XLA graph: batched, channels-last, bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from megaportraits_tpu.models.eapp import Eapp
+from megaportraits_tpu.models.emtn import Emtn
+from megaportraits_tpu.models.g2d import G2d
+from megaportraits_tpu.models.g3d import G3d
+from megaportraits_tpu.models.warpgen import WarpGenerator
+from megaportraits_tpu.ops.resize import anti_alias_downsample
+from megaportraits_tpu.ops.warp import apply_warping_field
+
+PYRAMID_SCALES = (0.5, 0.25)
+
+
+class Gbase(nn.Module):
+    policy: Policy = DEFAULT_POLICY
+    # 'reference' replicates the reference's renormalization quirk
+    # (model.py:1056-1058) for checkpoint parity; 'standard' is the textbook
+    # grid+flow sampling.
+    warp_normalize_mode: str = "reference"
+
+    def setup(self):
+        self.appearance_encoder = Eapp(policy=self.policy)
+        self.motion_encoder = Emtn(policy=self.policy)
+        self.warp_generator_s2c = WarpGenerator(invert=True, policy=self.policy)
+        self.warp_generator_c2d = WarpGenerator(invert=False, policy=self.policy)
+        self.g3d = G3d(policy=self.policy)
+        self.g2d = G2d(policy=self.policy)
+
+    def __call__(
+        self, xs: jnp.ndarray, xd: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        vs, es = self.appearance_encoder(xs, train)
+        rs, ts, zs = self.motion_encoder(xs, train)
+        rd, td, zd = self.motion_encoder(xd, train)
+        xhat = self.synthesize(vs, es, rs, ts, zs, rd, td, zd, train)
+        return xhat, self.pyramids(xhat)
+
+    def synthesize(self, vs, es, rs, ts, zs, rd, td, zd, train: bool = False):
+        """Core synthesis from precomputed appearance/motion descriptors.
+
+        Exposed separately so PairwiseTransferLoss can re-mix descriptors
+        (reference model.py:2190-2218) without re-encoding.
+        """
+        w_s2c = self.warp_generator_s2c(rs, ts, zs, es)
+        vc = apply_warping_field(vs, w_s2c, self.warp_normalize_mode)
+        vc2d = self.g3d(vc)
+        w_c2d = self.warp_generator_c2d(rd, td, zd, es)
+        vc2d_warped = apply_warping_field(vc2d, w_c2d, self.warp_normalize_mode)
+        projected = jnp.sum(vc2d_warped, axis=1)  # orthographic projection
+        return self.g2d(projected, train)
+
+    def encode_motion(self, x: jnp.ndarray, train: bool = False):
+        return self.motion_encoder(x, train)
+
+    def pyramids(self, xhat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {
+            str(s): anti_alias_downsample(xhat, s) for s in PYRAMID_SCALES
+        }
