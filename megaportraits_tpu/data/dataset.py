@@ -1,0 +1,349 @@
+"""EMODataset — host-side video preprocessing pipeline.
+
+Capability-parity rebuild of the reference EmoDataset.py:24-330:
+
+  * CelebV-HQ JSON metadata (clips dict) selects videos (EmoDataset.py:40-48)
+  * per-video frame extraction at `sample_rate`, capped at n_sample_frames
+  * face detection + 'sweet spot' crop with 0.5 * face-size padding
+    (EmoDataset.py:106-131)
+  * optional thin-plate-spline random warp of driving crops,
+    warp_strength=0.01 (EmoDataset.py:133-158)
+  * shared-RNG augmentation (horizontal flip + color jitter) applied
+    identically to paired frames (EmoDataset.py:204-206, 249-263)
+  * npz cache contract: `{video_id}_tensors.npz` next to the video; cache
+    hit skips all preprocessing (EmoDataset.py:189-196)
+  * __getitem__ returns {video_id, source_frames, driving_frames,
+    video_id_star, source_frames_star, driving_frames_star} with the star
+    pair drawn from a different video for the cycle loss
+    (EmoDataset.py:315-330)
+
+Library substitutions (this environment; all gated):
+  decord -> cv2.VideoCapture; face_recognition -> cv2 Haar cascade;
+  skimage PiecewiseAffine -> own TPS implementation + cv2.remap;
+  rembg -> optional (identity when unavailable).
+
+Frames are channels-last float32 in [0, 1] — the framework's native layout;
+feeding TPU HBM is a straight device_put of the stacked batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+try:
+    from rembg import remove as _rembg_remove  # type: ignore
+except Exception:  # pragma: no cover
+    _rembg_remove = None
+
+
+# ---------------------------------------------------------------------------
+# Thin-plate-spline warp (replaces skimage PiecewiseAffineTransform)
+# ---------------------------------------------------------------------------
+
+
+def _tps_kernel(r2: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(r2)
+    mask = r2 > 0
+    out[mask] = 0.5 * r2[mask] * np.log(r2[mask])
+    return out
+
+
+def tps_warp(
+    image: np.ndarray,
+    rng: np.random.Generator,
+    warp_strength: float = 0.01,
+    grid: int = 4,
+) -> np.ndarray:
+    """Random TPS warp: perturb a control grid, solve the spline, remap.
+
+    Mirrors the reference's random PiecewiseAffine warp of the driving crop
+    (EmoDataset.py:133-158) — degrades facial geometry slightly while
+    keeping expression (per the MegaPortraits augmentation recipe).
+    """
+    h, w = image.shape[:2]
+    xs = np.linspace(0, w - 1, grid)
+    ys = np.linspace(0, h - 1, grid)
+    src = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
+    dst = src + rng.normal(0, warp_strength * min(h, w), src.shape)
+
+    n = src.shape[0]
+    d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    k = _tps_kernel(d2)
+    p = np.concatenate([np.ones((n, 1)), src], axis=1)
+    a = np.zeros((n + 3, n + 3))
+    a[:n, :n] = k
+    a[:n, n:] = p
+    a[n:, :n] = p.T
+    b = np.concatenate([dst, np.zeros((3, 2))], axis=0)
+    coef = np.linalg.solve(a + 1e-8 * np.eye(n + 3), b)
+
+    gy, gx = np.mgrid[0:h, 0:w]
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=-1).astype(np.float64)
+    d2p = ((pts[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+    kp = _tps_kernel(d2p)
+    mapped = kp @ coef[:n] + coef[n] + pts @ coef[n + 1:]
+    map_x = mapped[:, 0].reshape(h, w).astype(np.float32)
+    map_y = mapped[:, 1].reshape(h, w).astype(np.float32)
+    if cv2 is not None:
+        return cv2.remap(image, map_x, map_y, cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_REFLECT)
+    # numpy fallback: nearest sampling
+    xi = np.clip(np.round(map_x).astype(int), 0, w - 1)
+    yi = np.clip(np.round(map_y).astype(int), 0, h - 1)
+    return image[yi, xi]
+
+
+# ---------------------------------------------------------------------------
+# Face detection / sweet-spot crop
+# ---------------------------------------------------------------------------
+
+_FACE_CASCADE = None
+
+
+def _get_face_cascade():
+    global _FACE_CASCADE
+    if _FACE_CASCADE is None and cv2 is not None:
+        path = os.path.join(
+            cv2.data.haarcascades, "haarcascade_frontalface_default.xml"
+        )
+        _FACE_CASCADE = cv2.CascadeClassifier(path)
+    return _FACE_CASCADE
+
+
+def sweet_spot_crop(
+    frame: np.ndarray, out_size: Tuple[int, int],
+    face_box: Optional[Tuple[int, int, int, int]] = None,
+) -> np.ndarray:
+    """Crop around the face with 0.5 * face-size padding, then resize.
+
+    Reference 'sweet spot' logic (EmoDataset.py:106-131). Falls back to a
+    square center crop when no face is detected.
+    """
+    h, w = frame.shape[:2]
+    box = face_box
+    if box is None:
+        cascade = _get_face_cascade()
+        if cascade is not None:
+            gray = cv2.cvtColor(
+                (frame * 255).astype(np.uint8) if frame.dtype != np.uint8
+                else frame,
+                cv2.COLOR_RGB2GRAY,
+            )
+            faces = cascade.detectMultiScale(gray, 1.1, 4)
+            if len(faces):
+                box = max(faces, key=lambda f: f[2] * f[3])
+    if box is not None:
+        x, y, fw, fh = box
+        pad_w, pad_h = int(0.5 * fw), int(0.5 * fh)
+        x0, y0 = max(0, x - pad_w), max(0, y - pad_h)
+        x1, y1 = min(w, x + fw + pad_w), min(h, y + fh + pad_h)
+    else:
+        side = min(h, w)
+        y0, x0 = (h - side) // 2, (w - side) // 2
+        y1, x1 = y0 + side, x0 + side
+    crop = frame[y0:y1, x0:x1]
+    if cv2 is not None:
+        return cv2.resize(crop, out_size, interpolation=cv2.INTER_AREA)
+    # crude nearest fallback
+    yy = np.linspace(0, crop.shape[0] - 1, out_size[1]).astype(int)
+    xx = np.linspace(0, crop.shape[1] - 1, out_size[0]).astype(int)
+    return crop[yy][:, xx]
+
+
+def remove_background(frame: np.ndarray) -> np.ndarray:
+    """rembg background removal when available; identity otherwise."""
+    if _rembg_remove is None:
+        return frame
+    rgba = _rembg_remove((frame * 255).astype(np.uint8))
+    rgba = np.asarray(rgba).astype(np.float32) / 255.0
+    alpha = rgba[..., 3:4]
+    return rgba[..., :3] * alpha
+
+
+# ---------------------------------------------------------------------------
+# Shared-RNG augmentation (flip + color jitter)
+# ---------------------------------------------------------------------------
+
+
+def augment_pair(
+    frames: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Apply one sampled augmentation to every frame of a clip (shared RNG
+    state across paired frames, EmoDataset.py:249-263)."""
+    out = frames
+    if rng.random() < 0.5:
+        out = out[:, :, ::-1, :]
+    brightness = rng.uniform(0.8, 1.2)
+    contrast = rng.uniform(0.8, 1.2)
+    saturation = rng.uniform(0.8, 1.2)
+    mean = out.mean(axis=(1, 2, 3), keepdims=True)
+    out = (out - mean) * contrast + mean
+    gray = out.mean(axis=-1, keepdims=True)
+    out = gray + (out - gray) * saturation
+    out = out * brightness
+    return np.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class EMODataset:
+    def __init__(
+        self,
+        width: int = 512,
+        height: int = 512,
+        n_sample_frames: int = 16,
+        sample_rate: int = 25,
+        video_dir: str = "./junk",
+        json_file: str = "./data/overfit.json",
+        cache_dir: Optional[str] = None,
+        remove_background_flag: bool = False,
+        apply_crop_warping: bool = True,
+        warp_strength: float = 0.01,
+        use_gpu: bool = False,  # reference-schema compat; unused on TPU host
+        transform=None,  # reference-schema compat
+        img_scale: Tuple[float, float] = (1.0, 1.0),
+        seed: int = 0,
+    ):
+        self.width = width
+        self.height = height
+        self.n_sample_frames = n_sample_frames
+        self.sample_rate = sample_rate
+        self.video_dir = video_dir
+        self.cache_dir = cache_dir or video_dir
+        self.remove_background_flag = remove_background_flag
+        self.apply_crop_warping = apply_crop_warping
+        self.warp_strength = warp_strength
+        self.rng = np.random.default_rng(seed)
+
+        with open(json_file) as f:
+            meta = json.load(f)
+        self.video_ids: List[str] = list(meta.get("clips", {}).keys())
+        if not self.video_ids:
+            # Fall back to whatever videos exist in video_dir.
+            self.video_ids = sorted(
+                os.path.splitext(f)[0]
+                for f in os.listdir(video_dir)
+                if f.endswith(".mp4")
+            )
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def __len__(self) -> int:
+        return len(self.video_ids)
+
+    # -- preprocessing ------------------------------------------------------
+
+    def _cache_path(self, video_id: str) -> str:
+        return os.path.join(self.cache_dir, f"{video_id}_tensors.npz")
+
+    def _decode_video(self, path: str) -> np.ndarray:
+        assert cv2 is not None, "cv2 required for video decoding"
+        cap = cv2.VideoCapture(path)
+        frames = []
+        idx = 0
+        while len(frames) < self.n_sample_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % max(self.sample_rate, 1) == 0:
+                frames.append(
+                    cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(np.float32)
+                    / 255.0
+                )
+            idx += 1
+        cap.release()
+        if not frames:
+            raise IOError(f"no frames decoded from {path}")
+        return np.stack(frames)
+
+    def load_and_process_video(self, video_id: str) -> Dict[str, np.ndarray]:
+        """npz-cached video -> {'source_frames', 'driving_frames'}."""
+        if video_id in self._cache:
+            return self._cache[video_id]
+        cache_path = self._cache_path(video_id)
+        if os.path.exists(cache_path):
+            data = np.load(cache_path)
+            out = {
+                "source_frames": data["source_frames"],
+                "driving_frames": data["driving_frames"],
+            }
+            self._cache[video_id] = out
+            return out
+
+        raw = self._decode_video(os.path.join(self.video_dir, f"{video_id}.mp4"))
+        source, driving = [], []
+        for frame in raw:
+            if self.remove_background_flag:
+                frame = remove_background(frame)
+            crop = sweet_spot_crop(frame, (self.width, self.height))
+            source.append(crop)
+            drv = crop
+            if self.apply_crop_warping:
+                drv = tps_warp(crop, self.rng, self.warp_strength)
+            driving.append(drv)
+        source = augment_pair(np.stack(source), self.rng).astype(np.float32)
+        driving = augment_pair(np.stack(driving), self.rng).astype(np.float32)
+        out = {"source_frames": source, "driving_frames": driving}
+        try:
+            np.savez_compressed(cache_path, **out)
+        except OSError:
+            pass  # read-only cache dir: keep in memory only
+        self._cache[video_id] = out
+        return out
+
+    # -- access -------------------------------------------------------------
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        video_id = self.video_ids[index]
+        video_id_star = self.video_ids[(index + 1) % len(self.video_ids)]
+        main = self.load_and_process_video(video_id)
+        star = self.load_and_process_video(video_id_star)
+        return {
+            "video_id": video_id,
+            "source_frames": main["source_frames"],
+            "driving_frames": main["driving_frames"],
+            "video_id_star": video_id_star,
+            "source_frames_star": star["source_frames"],
+            "driving_frames_star": star["driving_frames"],
+        }
+
+    def frame_batches(
+        self, batch_size: int, frame_offset: int = 20, seed: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield batched training dicts — the device-batched replacement for
+        the reference's per-frame Python loop (train.py:179)."""
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        while True:
+            src, drv, src_next, src_star, drv_star = [], [], [], [], []
+            for _ in range(batch_size):
+                item = self[int(rng.integers(n))]
+                s = item["source_frames"]
+                d = item["driving_frames"]
+                ss = item["source_frames_star"]
+                ds = item["driving_frames_star"]
+                i = int(rng.integers(len(d)))
+                src.append(s[i % len(s)])
+                drv.append(d[i % len(d)])
+                src_next.append(s[(i + frame_offset) % len(s)])
+                j = int(rng.integers(len(ds)))
+                src_star.append(ss[j % len(ss)])
+                drv_star.append(ds[j % len(ds)])
+            yield {
+                "source": np.stack(src),
+                "driving": np.stack(drv),
+                "source_next": np.stack(src_next),
+                "source_star": np.stack(src_star),
+                "driving_star": np.stack(drv_star),
+            }

@@ -1,0 +1,143 @@
+"""Evaluation metric suite — L1 / LPIPS / PSNR / SSIM / AKD / AED.
+
+Rebuild of reference metrics.py (whose `calculate_akd` is referenced but
+never defined, metrics.py:84 — implemented here). L1/PSNR/SSIM are pure
+jnp/numpy; LPIPS uses losses.perceptual.LPIPS (random weights unless a
+torch state_dict is converted); AKD/AED need facial keypoints — dlib is
+unavailable, so keypoints come from the cv2 Haar-cascade face box corners
+(a 5-point proxy) and the metrics are reported as None when no face is
+found, matching the reference's skip behavior (metrics.py:31-34).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def calculate_l1(pred: np.ndarray, target: np.ndarray) -> float:
+    return float(np.mean(np.abs(pred.astype(np.float64) -
+                                target.astype(np.float64))))
+
+
+def calculate_psnr(pred: np.ndarray, target: np.ndarray,
+                   data_range: float = 1.0) -> float:
+    mse = np.mean((pred.astype(np.float64) - target.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma**2))
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def calculate_ssim(pred: np.ndarray, target: np.ndarray,
+                   data_range: float = 1.0) -> float:
+    """Standard SSIM (Wang et al.) with 11x11 gaussian window, per-channel."""
+    from scipy.signal import convolve2d
+
+    k1, k2 = 0.01, 0.03
+    c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    win = _gaussian_window()
+    if pred.ndim == 2:
+        pred = pred[..., None]
+        target = target[..., None]
+    vals = []
+    for ch in range(pred.shape[-1]):
+        x = pred[..., ch].astype(np.float64)
+        y = target[..., ch].astype(np.float64)
+        mx = convolve2d(x, win, mode="valid")
+        my = convolve2d(y, win, mode="valid")
+        mxx = convolve2d(x * x, win, mode="valid") - mx**2
+        myy = convolve2d(y * y, win, mode="valid") - my**2
+        mxy = convolve2d(x * y, win, mode="valid") - mx * my
+        s = ((2 * mx * my + c1) * (2 * mxy + c2)) / (
+            (mx**2 + my**2 + c1) * (mxx + myy + c2)
+        )
+        vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+def extract_keypoints(image: np.ndarray) -> Optional[np.ndarray]:
+    """Face keypoint proxy: Haar face box corners + center (dlib absent)."""
+    try:
+        import cv2
+    except Exception:
+        return None
+    from megaportraits_tpu.data.dataset import _get_face_cascade
+
+    cascade = _get_face_cascade()
+    if cascade is None:
+        return None
+    img8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    gray = cv2.cvtColor(img8, cv2.COLOR_RGB2GRAY)
+    faces = cascade.detectMultiScale(gray, 1.1, 4)
+    if not len(faces):
+        return None
+    x, y, w, h = max(faces, key=lambda f: f[2] * f[3])
+    return np.array(
+        [[x, y], [x + w, y], [x, y + h], [x + w, y + h],
+         [x + w / 2, y + h / 2]],
+        dtype=np.float64,
+    )
+
+
+def calculate_akd(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
+    """Average keypoint distance."""
+    kp, kt = extract_keypoints(pred), extract_keypoints(target)
+    if kp is None or kt is None:
+        return None
+    return float(np.mean(np.linalg.norm(kp - kt, axis=1)))
+
+
+def calculate_aed(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
+    """Average euclidean distance over detected keypoints (metrics.py:28-34)."""
+    return calculate_akd(pred, target)
+
+
+def calculate_lpips(pred: np.ndarray, target: np.ndarray, lpips_apply) -> float:
+    """lpips_apply: callable([1,H,W,3]x2 in [-1,1]) -> [1]."""
+    p = jnp.asarray(pred, dtype=jnp.float32)[None] * 2 - 1
+    t = jnp.asarray(target, dtype=jnp.float32)[None] * 2 - 1
+    return float(lpips_apply(p, t)[0])
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+
+
+def evaluate_metrics(
+    output_dir: str, target_dir: str, lpips_apply=None
+) -> Dict[str, Optional[float]]:
+    """Directory-level evaluation, mirroring reference metrics.py:61-102."""
+    scores: Dict[str, list] = {k: [] for k in
+                               ("L1", "LPIPS", "PSNR", "SSIM", "AKD", "AED")}
+    for filename in sorted(os.listdir(output_dir)):
+        if not (filename.startswith("cross_reenactment_images")
+                or filename.startswith("pred_frame")):
+            continue
+        target_path = os.path.join(target_dir, filename)
+        if not os.path.exists(target_path):
+            continue
+        pred = load_image(os.path.join(output_dir, filename))
+        target = load_image(target_path)
+        scores["L1"].append(calculate_l1(pred, target))
+        scores["PSNR"].append(calculate_psnr(pred, target))
+        scores["SSIM"].append(calculate_ssim(pred, target))
+        if lpips_apply is not None:
+            scores["LPIPS"].append(calculate_lpips(pred, target, lpips_apply))
+        akd = calculate_akd(pred, target)
+        if akd is not None:
+            scores["AKD"].append(akd)
+            scores["AED"].append(akd)
+    return {
+        k: (float(np.mean(v)) if v else None) for k, v in scores.items()
+    }

@@ -77,6 +77,22 @@ class Gbase(nn.Module):
     def encode_motion(self, x: jnp.ndarray, train: bool = False):
         return self.motion_encoder(x, train)
 
+    def pairwise_outputs(
+        self, i1: jnp.ndarray, i2: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """VASA pairwise-transfer passes (reference model.py:2190-2218).
+
+        Returns (I_pose, I_exp): appearance of i1 with (pose of i2 +
+        expression of i1) vs (pose of i1 + expression of i2); both warp
+        generators receive the same mixed descriptors, as in the reference.
+        """
+        vs1, es1 = self.appearance_encoder(i1, train)
+        rs1, ts1, zs1 = self.motion_encoder(i1, train)
+        rs2, ts2, zs2 = self.motion_encoder(i2, train)
+        i_pose = self.synthesize(vs1, es1, rs2, ts2, zs1, rs2, ts2, zs1, train)
+        i_exp = self.synthesize(vs1, es1, rs1, ts1, zs2, rs1, ts1, zs2, train)
+        return i_pose, i_exp
+
     def pyramids(self, xhat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {
             str(s): anti_alias_downsample(xhat, s) for s in PYRAMID_SCALES

@@ -1,0 +1,106 @@
+"""Stage-1 training driver: ``python -m megaportraits_tpu.train.main_base
+[--config configs/training/stage1-base.yaml]``.
+
+The TPU counterpart of ``python train.py`` (reference train.py:387-435):
+EMODataset (npz-cached host pipeline) -> double-buffered device prefetch ->
+jitted fused train step (data-parallel over the mesh 'data' axis) ->
+TensorBoard metrics, PNG debug dumps, Orbax checkpoints with auto-resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from megaportraits_tpu.core.checkpoint import CheckpointManager
+from megaportraits_tpu.core.config import Config, load_config
+from megaportraits_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
+from megaportraits_tpu.data.dataset import EMODataset
+from megaportraits_tpu.data.prefetch import prefetch_to_device
+from megaportraits_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from megaportraits_tpu.train.train_base import init_states, make_train_step
+from megaportraits_tpu.utils.image import save_image
+from megaportraits_tpu.utils.logging import MetricsWriter
+
+
+def train_base(cfg: Config, max_steps: int | None = None) -> dict:
+    policy = DEFAULT_POLICY if cfg.training.use_bf16 else FP32_POLICY
+    mesh = make_mesh(cfg.training.mesh_shape)
+    rng = jax.random.PRNGKey(cfg.training.seed)
+
+    dataset = EMODataset(
+        width=cfg.data.train_width,
+        height=cfg.data.train_height,
+        n_sample_frames=cfg.training.n_sample_frames,
+        sample_rate=cfg.training.sample_rate,
+        video_dir=cfg.training.video_dir,
+        json_file=cfg.training.json_file,
+        seed=cfg.training.seed,
+    )
+    steps_per_epoch = cfg.training.steps_per_epoch or max(
+        1, len(dataset) * cfg.training.n_sample_frames // cfg.training.batch_size
+    )
+    cfg.training.steps_per_epoch = steps_per_epoch
+
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(cfg, rng, policy)
+    g_state = jax.device_put(g_state, replicated_sharding(mesh))
+    d_state = jax.device_put(d_state, replicated_sharding(mesh))
+    p_vars = jax.device_put(p_vars, replicated_sharding(mesh))
+
+    ckpt = CheckpointManager(cfg.training.checkpoint_path)
+    latest = ckpt.latest_step()
+    if latest is not None:
+        restored = ckpt.restore({"g": g_state, "d": d_state}, latest)
+        g_state, d_state = restored["g"], restored["d"]
+        print(f"Resumed from checkpoint step {latest}")
+
+    step_fn = make_train_step(gbase, disc, ploss, p_vars, cfg)
+    writer = MetricsWriter()
+
+    batches = prefetch_to_device(
+        dataset.frame_batches(
+            cfg.training.batch_size, cfg.training.frame_offset,
+            seed=cfg.training.seed,
+        ),
+        sharding=batch_sharding(mesh),
+    )
+
+    total_steps = max_steps or cfg.training.base_epochs * steps_per_epoch
+    start = int(g_state.step)
+    t0 = time.time()
+    metrics = {}
+    for step_idx, batch in zip(range(start, total_steps), batches):
+        g_state, d_state, metrics, xhat = step_fn(g_state, d_state, batch)
+        if (step_idx + 1) % cfg.training.log_interval == 0:
+            host = {k: float(v) for k, v in metrics.items()}
+            host["steps_per_sec"] = (step_idx + 1 - start) / (time.time() - t0)
+            writer.write(step_idx, host)
+            print(f"step {step_idx + 1}/{total_steps}: "
+                  f"G={host['loss_G']:.4f} D={host['loss_D']:.4f} "
+                  f"({host['steps_per_sec']:.2f} it/s)")
+            save_image(np.asarray(xhat, dtype=np.float32),
+                       f"output_images/pred_frame_{step_idx}.png")
+        if (step_idx + 1) % cfg.training.save_interval == 0:
+            ckpt.save(step_idx + 1, {"g": g_state, "d": d_state})
+    ckpt.save(total_steps, {"g": g_state, "d": d_state}, wait=True)
+    writer.close()
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/training/stage1-base.yaml")
+    parser.add_argument("--max-steps", type=int, default=None)
+    args = parser.parse_args()
+    train_base(load_config(args.config), args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Stage-1 base training: Gbase vs PatchGAN discriminator.
+
+Reference: train_base (train.py:129-368). Key TPU redesigns (SURVEY.md §7):
+
+  * The reference's per-frame Python loop (train.py:179) is batched into the
+    device batch axis — every loss term of a step runs in ONE jitted XLA
+    graph (G forward, D step, G step, cross-reenactment pass, 4 Emtn
+    descriptor passes, pairwise-transfer passes).
+  * CUDA AMP GradScaler -> bf16 compute (no scaler needed on TPU).
+  * The GAN two-optimizer step is two clean grad computations with
+    stop_gradient at the G/D boundary instead of retain_graph ordering.
+  * Data parallel via GSPMD: batch sharded over the mesh 'data' axis,
+    params replicated; XLA inserts the gradient all-reduces.
+
+Loss terms (weights from configs/training/stage1-base.yaml:34-40):
+  w_per * pyramid perceptual + w_adv * adversarial + w_fm * 'feature
+  matching' (pixel MSE) + w_cos * cycle cosine + w_pairwise * pairwise
+  transfer + w_identity * identity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from megaportraits_tpu.core.config import Config
+from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from megaportraits_tpu.losses.cycle import cosine_loss
+from megaportraits_tpu.losses.gan import (
+    discriminator_loss,
+    feature_matching_loss,
+    generator_adversarial_loss,
+)
+from megaportraits_tpu.models.discriminator import Discriminator
+from megaportraits_tpu.models.gbase import Gbase
+from megaportraits_tpu.losses.perceptual import PerceptualLoss
+from megaportraits_tpu.ops.resize import linear_resize
+from megaportraits_tpu.train.state import TrainState, make_optimizer
+
+
+class BaseTrainer(NamedTuple):
+    """Bundled modules + jitted step for stage-1 training."""
+
+    gbase: Gbase
+    disc: Discriminator
+    ploss: PerceptualLoss
+    ploss_vars: Any
+    train_step: Any  # jitted (g_state, d_state, batch, rng) -> ...
+
+
+def init_states(
+    cfg: Config,
+    rng: jax.Array,
+    policy: Policy = DEFAULT_POLICY,
+    image_size: Optional[int] = None,
+) -> Tuple[Gbase, Discriminator, PerceptualLoss, Any, TrainState, TrainState]:
+    size = image_size or cfg.data.train_width
+    gbase = Gbase(policy=policy)
+    disc = Discriminator(policy=policy)
+    ploss = PerceptualLoss(
+        weights={"vgg19": 20.0, "vggface": 4.0, "gaze": 5.0, "lpips": 10.0},
+        policy=policy,
+    )
+    k_g, k_d, k_p = jax.random.split(rng, 3)
+    dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
+    g_vars = gbase.init(k_g, dummy, dummy)
+    d_vars = disc.init(k_d, dummy, dummy)
+    p_vars = ploss.init(k_p, dummy, dummy)
+
+    steps_per_epoch = cfg.training.steps_per_epoch or 1
+    total_steps = cfg.training.base_epochs * steps_per_epoch
+    tx_g = make_optimizer(
+        cfg.training.lr, total_steps, params_example=g_vars["params"]
+    )
+    tx_d = make_optimizer(cfg.training.lr, total_steps)
+    g_state = TrainState.create(
+        g_vars["params"], g_vars.get("batch_stats"), tx_g
+    )
+    d_state = TrainState.create(d_vars["params"], d_vars.get("batch_stats"), tx_d)
+    return gbase, disc, ploss, p_vars, g_state, d_state
+
+
+def make_train_step(
+    gbase: Gbase,
+    disc: Discriminator,
+    ploss: PerceptualLoss,
+    ploss_vars: Any,
+    cfg: Config,
+    donate: bool = True,
+):
+    """Build the single fused train step (D update + G update + metrics)."""
+    t = cfg.training
+    w = dict(per=t.w_per, adv=t.w_adv, fm=t.w_fm, cos=t.w_cos,
+             pairwise=t.w_pairwise, identity=t.w_identity)
+
+    def g_forward(params, batch_stats, xs, xd, train):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if train and batch_stats is not None:
+            (xhat, pyr), new_vars = gbase.apply(
+                variables, xs, xd, True, mutable=["batch_stats"]
+            )
+            return xhat, pyr, new_vars["batch_stats"]
+        xhat, pyr = gbase.apply(variables, xs, xd, train)
+        return xhat, pyr, batch_stats
+
+    def perceptual(pred, target):
+        return ploss.apply(ploss_vars, pred, target)
+
+    def step(g_state: TrainState, d_state: TrainState, batch: Dict[str, Any]):
+        xs = batch["source"]
+        xd = batch["driving"]
+        xs_next = batch["source_next"]
+        xs_star = batch["source_star"]
+        xd_star = batch["driving_star"]
+
+        # ------------------------------------------------------------------
+        # Generator loss (captures everything that needs G gradients).
+        # ------------------------------------------------------------------
+        def g_loss_fn(g_params):
+            variables = {"params": g_params}
+            if g_state.batch_stats is not None:
+                variables["batch_stats"] = g_state.batch_stats
+
+            mutable = (
+                ["batch_stats"] if g_state.batch_stats is not None else False
+            )
+            if mutable:
+                (xhat, pyramids), new_vars = gbase.apply(
+                    variables, xs, xd, True, mutable=mutable
+                )
+                new_stats = new_vars.get("batch_stats")
+            else:
+                xhat, pyramids = gbase.apply(variables, xs, xd, True)
+                new_stats = g_state.batch_stats
+
+            # Pyramid perceptual loss vs the driving frame (train.py:220-223).
+            loss_per = jnp.float32(0.0)
+            for scale, pred_scaled in pyramids.items():
+                tgt = linear_resize(
+                    xd, pred_scaled.shape[1:3], axes=(1, 2), align_corners=False
+                )
+                loss_per = loss_per + perceptual(pred_scaled, tgt)
+
+            # Adversarial: D is frozen inside the G step.
+            d_vars = {"params": jax.lax.stop_gradient(d_state.params)}
+            fake_pred = disc.apply(d_vars, xhat, xs)
+            loss_adv = generator_adversarial_loss(fake_pred, "lsgan")
+
+            loss_fm = feature_matching_loss(xhat, xd)
+
+            # Cross-reenactment + cycle cosine (train.py:283-304).
+            def run(*args, method=None):
+                out = gbase.apply(variables, *args, method=method,
+                                  mutable=mutable)
+                return out[0] if mutable else out
+
+            xhat_star, _ = run(xs_star, xd, True)
+
+            def motion_z(img):
+                _, _, z = run(img, True, method=Gbase.encode_motion)
+                return z
+
+            z_pred = motion_z(xhat)
+            z_d = motion_z(xd)
+            z_star_pred = motion_z(xhat_star)
+            z_d_star = motion_z(xd_star)
+            loss_cos = cosine_loss(
+                [(z_pred, z_d), (z_star_pred, z_d)],
+                [(z_pred, z_d_star), (z_star_pred, z_d_star)],
+            )
+
+            # Pairwise transfer (model.py:2186-2219) on same-video frames.
+            i_pose, i_exp = run(xs, xs_next, True,
+                                method=Gbase.pairwise_outputs)
+            loss_pairwise = jnp.mean(
+                jnp.abs(i_pose.astype(jnp.float32) - i_exp.astype(jnp.float32))
+            )
+
+            # Identity similarity between the cross-reenactment source and
+            # its output (documented intent of model.py:2221-2261).
+            loss_identity = perceptual(xhat_star, xs_star)
+
+            total = (
+                w["per"] * loss_per
+                + w["adv"] * loss_adv
+                + w["fm"] * loss_fm
+                + w["cos"] * loss_cos
+                + w["pairwise"] * loss_pairwise
+                + w["identity"] * loss_identity
+            )
+            metrics = {
+                "loss_G": total,
+                "loss_G_per": loss_per,
+                "loss_G_adv": loss_adv,
+                "loss_fm": loss_fm,
+                "loss_G_cos": loss_cos,
+                "loss_pairwise": loss_pairwise,
+                "loss_identity": loss_identity,
+            }
+            return total, (metrics, new_stats, xhat)
+
+        (loss_g, (metrics, new_g_stats, xhat)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g_state.params)
+
+        # ------------------------------------------------------------------
+        # Discriminator loss on the detached prediction (train.py:237-247).
+        # ------------------------------------------------------------------
+        def d_loss_fn(d_params):
+            d_vars = {"params": d_params}
+            real_pred = disc.apply(d_vars, xd, xs)
+            fake_pred = disc.apply(d_vars, jax.lax.stop_gradient(xhat), xs)
+            return discriminator_loss(real_pred, fake_pred, "lsgan")
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+        metrics["loss_D"] = loss_d
+
+        new_g_state = g_state.apply_gradients(g_grads, new_g_stats)
+        new_d_state = d_state.apply_gradients(d_grads)
+        return new_g_state, new_d_state, metrics, xhat
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

@@ -1,0 +1,74 @@
+"""Stage-3: Student distillation (reference train_highres.py:365-405,
+train_student.py).
+
+The frozen teacher GHR produces the target for a fixed set of avatars; the
+Student (SPADE-conditioned on avatar index) learns plain MSE distillation
+(train_highres.py:388). AdamW + cosine. One jitted step; the teacher
+forward is fused into the same XLA graph with stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from megaportraits_tpu.core.config import Config
+from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from megaportraits_tpu.models.genh import GHR
+from megaportraits_tpu.models.student import Student
+from megaportraits_tpu.train.state import TrainState, make_optimizer
+
+
+def init_student_state(
+    cfg: Config, rng: jax.Array, policy: Policy = DEFAULT_POLICY,
+    image_size: int = 512,
+):
+    student = Student(num_avatars=cfg.training.num_avatars, policy=policy)
+    dummy = jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype)
+    idx = jnp.zeros((1,), jnp.int32)
+    variables = student.init(rng, dummy, idx)
+    steps = (cfg.training.steps_per_epoch or 1) * cfg.training.student_epochs
+    tx = make_optimizer(cfg.training.lr, steps)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"), tx)
+    return student, state
+
+
+def make_student_train_step(
+    student: Student,
+    teacher: GHR,
+    teacher_variables: Any,
+    cfg: Config,
+):
+    def step(state: TrainState, batch: Dict[str, Any]):
+        xs, xd = batch["source"], batch["driving"]
+        avatar_index = batch["avatar_index"]
+
+        target = teacher.apply(teacher_variables, xs, xd)
+        # Teacher Genh outputs tanh [-1,1]; student outputs sigmoid [0,1].
+        target01 = jax.lax.stop_gradient(
+            (target.astype(jnp.float32) + 1.0) * 0.5
+        )
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                pred, new_vars = student.apply(
+                    variables, xd, avatar_index, True, mutable=["batch_stats"]
+                )
+                new_stats = new_vars["batch_stats"]
+            else:
+                pred = student.apply(variables, xd, avatar_index, True)
+                new_stats = None
+            loss = jnp.mean((pred.astype(jnp.float32) - target01) ** 2)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads, new_stats), {"loss_student": loss}
+
+    return jax.jit(step, donate_argnums=(0,))
