@@ -3,6 +3,13 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: BASELINE.json north-star >= 30 frames/sec/chip (the reference
 publishes no numbers of its own — BASELINE.md).
+
+Methodology: this environment reaches the TPU through a tunnel whose
+per-call round-trip is ~28 ms and whose block_until_ready does not wait for
+device completion, so naive per-call timing is meaningless. We instead run
+K reenactment forwards inside ONE jit via lax.scan (distinct driving frames,
+data-dependent accumulator) with a single scalar readback, for two values of
+K; the slope gives the true per-frame device time.
 """
 
 from __future__ import annotations
@@ -21,31 +28,37 @@ def main():
     from megaportraits_tpu.models.gbase import Gbase
 
     size = 512
-    batch = 1
     model = Gbase(policy=DEFAULT_POLICY)
     rng = jax.random.PRNGKey(0)
-    xs = jax.random.uniform(rng, (batch, size, size, 3), jnp.bfloat16)
-    xd = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3),
-                            jnp.bfloat16)
-    variables = jax.jit(model.init)(rng, xs, xd)
+    xs = jax.random.uniform(rng, (1, size, size, 3), jnp.bfloat16)
+    variables = jax.jit(model.init)(rng, xs, xs)
 
-    @jax.jit
-    def forward(variables, xs, xd):
-        xhat, _ = model.apply(variables, xs, xd)
-        return xhat
+    def chained(k):
+        xds = jax.random.uniform(
+            jax.random.PRNGKey(1), (k, 1, size, size, 3), jnp.bfloat16
+        )
 
-    # Warmup / compile.
-    forward(variables, xs, xd).block_until_ready()
+        @jax.jit
+        def run(variables, xs, xds):
+            def body(carry, xd):
+                xhat, _ = model.apply(variables, xs, xd + carry * 1e-6)
+                return jnp.mean(xhat).astype(jnp.bfloat16), ()
 
-    iters = 30
-    times = []
-    for _ in range(iters):
+            acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0), xds)
+            return acc
+
+        float(run(variables, xs, xds))  # compile + warm
+        reps = 3
         t0 = time.perf_counter()
-        forward(variables, xs, xd).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    p50 = times[len(times) // 2]
-    fps = batch / p50
+        for _ in range(reps):
+            float(run(variables, xs, xds))
+        return (time.perf_counter() - t0) / reps
+
+    k_small, k_large = 2, 18
+    t_small = chained(k_small)
+    t_large = chained(k_large)
+    per_frame = max((t_large - t_small) / (k_large - k_small), 1e-9)
+    fps = 1.0 / per_frame
 
     print(json.dumps({
         "metric": "gbase_512_reenactment_fps_per_chip",

@@ -1,0 +1,114 @@
+"""Per-component device-time microbenchmarks (slope method — see bench.py).
+
+Usage: python benchmarks/micro.py [component ...]
+Components: warp eapp emtn g3d g2d flow disc gbase
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from megaportraits_tpu.core.dtypes import DEFAULT_POLICY as P
+
+
+def slope_time(fn, make_input, k_small=2, k_large=18, reps=3):
+    """Device time per fn application, amortizing tunnel RTT."""
+
+    def chained(k):
+        xs = make_input(k)
+
+        @jax.jit
+        def run(xs):
+            def body(carry, x):
+                out = fn(jax.tree_util.tree_map(
+                    lambda a: a + carry.astype(a.dtype) * 1e-6, x))
+                flat = jax.tree_util.tree_leaves(out)
+                acc = sum(jnp.mean(o).astype(jnp.float32) for o in flat)
+                return acc, ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+            return acc
+
+        float(run(xs))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(run(xs))
+        return (time.perf_counter() - t0) / reps
+
+    t1, t2 = chained(k_small), chained(k_large)
+    return max((t2 - t1) / (k_large - k_small), 1e-9)
+
+
+def bench_warp():
+    from megaportraits_tpu.ops.warp import apply_warping_field
+
+    b, d, h, w, c = 1, 16, 64, 64, 96
+    v = jax.random.normal(jax.random.PRNGKey(0), (b, d, h, w, c), jnp.bfloat16)
+
+    def make(k):
+        return jax.random.uniform(
+            jax.random.PRNGKey(1), (k, b, 64, 64, 64, 3), jnp.float32,
+            minval=-1, maxval=1,
+        )
+
+    t = slope_time(lambda f: apply_warping_field(v, f), make)
+    print(f"apply_warping_field [1,16,64,64,96]: {t * 1e3:.3f} ms")
+
+
+def _bench_module(name, module, shapes, dtypes=None):
+    rng = jax.random.PRNGKey(0)
+    dtypes = dtypes or [jnp.bfloat16] * len(shapes)
+    args = [jax.random.normal(rng, s, dt) for s, dt in zip(shapes, dtypes)]
+    variables = jax.jit(module.init)(rng, *args)
+
+    def make(k):
+        return [
+            jax.random.normal(jax.random.PRNGKey(2), (k, *s), dt)
+            for s, dt in zip(shapes, dtypes)
+        ]
+
+    t = slope_time(lambda xs: module.apply(variables, *xs), make)
+    print(f"{name}: {t * 1e3:.3f} ms")
+
+
+def main():
+    targets = sys.argv[1:] or ["warp", "flow", "g3d", "g2d", "eapp", "emtn",
+                               "disc", "gbase"]
+    size = 512
+    for t in targets:
+        if t == "warp":
+            bench_warp()
+        elif t == "flow":
+            from megaportraits_tpu.models.warpgen import FlowField
+            _bench_module("FlowField", FlowField(policy=P), [(1, 512)])
+        elif t == "g3d":
+            from megaportraits_tpu.models.g3d import G3d
+            _bench_module("G3d [1,16,64,64,96]", G3d(policy=P),
+                          [(1, 16, 64, 64, 96)])
+        elif t == "g2d":
+            from megaportraits_tpu.models.g2d import G2d
+            _bench_module("G2d [1,64,64,96]", G2d(policy=P), [(1, 64, 64, 96)])
+        elif t == "eapp":
+            from megaportraits_tpu.models.eapp import Eapp
+            _bench_module(f"Eapp [1,{size},{size},3]", Eapp(policy=P),
+                          [(1, size, size, 3)])
+        elif t == "emtn":
+            from megaportraits_tpu.models.emtn import Emtn
+            _bench_module(f"Emtn [1,{size},{size},3]", Emtn(policy=P),
+                          [(1, size, size, 3)])
+        elif t == "disc":
+            from megaportraits_tpu.models.discriminator import Discriminator
+            _bench_module(f"Discriminator [{size}]", Discriminator(policy=P),
+                          [(1, size, size, 3), (1, size, size, 3)])
+        elif t == "gbase":
+            from megaportraits_tpu.models.gbase import Gbase
+            _bench_module(f"Gbase [{size}]", Gbase(policy=P),
+                          [(1, size, size, 3), (1, size, size, 3)])
+
+
+if __name__ == "__main__":
+    main()

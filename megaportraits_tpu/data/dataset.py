@@ -106,17 +106,52 @@ def tps_warp(
 # Face detection / sweet-spot crop
 # ---------------------------------------------------------------------------
 
-_FACE_CASCADE = None
+_FACE_DETECTOR = None
+FACE_MODEL_ENV = "MEGAPORTRAITS_FACE_MODEL"  # path to a YuNet .onnx
 
 
-def _get_face_cascade():
-    global _FACE_CASCADE
-    if _FACE_CASCADE is None and cv2 is not None:
-        path = os.path.join(
-            cv2.data.haarcascades, "haarcascade_frontalface_default.xml"
-        )
-        _FACE_CASCADE = cv2.CascadeClassifier(path)
-    return _FACE_CASCADE
+def _get_face_detector():
+    """cv2.FaceDetectorYN when a model file is supplied; else None.
+
+    This cv2 build (5.0) has no Haar cascades and no bundled detector
+    weights; face_recognition/dlib are unavailable. Detection degrades to
+    the skin-tone heuristic below, then to a center crop (CelebV-HQ clips
+    are face-centered already, EmoDataset.md).
+    """
+    global _FACE_DETECTOR
+    if _FACE_DETECTOR is None and cv2 is not None:
+        model = os.environ.get(FACE_MODEL_ENV, "")
+        if model and os.path.exists(model) and hasattr(cv2, "FaceDetectorYN"):
+            _FACE_DETECTOR = cv2.FaceDetectorYN.create(model, "", (320, 320))
+    return _FACE_DETECTOR
+
+
+def detect_face(frame: np.ndarray):
+    """Best-effort face box (x, y, w, h) in pixels, or None."""
+    img8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8) \
+        if frame.dtype != np.uint8 else frame
+    det = _get_face_detector()
+    if det is not None:
+        h, w = img8.shape[:2]
+        det.setInputSize((w, h))
+        _, faces = det.detect(cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
+        if faces is not None and len(faces):
+            x, y, fw, fh = faces[0][:4]
+            return int(x), int(y), int(fw), int(fh)
+    # Skin-tone heuristic: YCrCb mask -> largest blob.
+    if cv2 is not None:
+        ycrcb = cv2.cvtColor(img8, cv2.COLOR_RGB2YCrCb)
+        mask = cv2.inRange(ycrcb, (0, 133, 77), (255, 173, 127))
+        mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, np.ones((5, 5), np.uint8))
+        contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        if contours:
+            big = max(contours, key=cv2.contourArea)
+            area = cv2.contourArea(big)
+            h, w = img8.shape[:2]
+            if area > 0.02 * h * w:
+                return cv2.boundingRect(big)
+    return None
 
 
 def sweet_spot_crop(
@@ -129,18 +164,7 @@ def sweet_spot_crop(
     square center crop when no face is detected.
     """
     h, w = frame.shape[:2]
-    box = face_box
-    if box is None:
-        cascade = _get_face_cascade()
-        if cascade is not None:
-            gray = cv2.cvtColor(
-                (frame * 255).astype(np.uint8) if frame.dtype != np.uint8
-                else frame,
-                cv2.COLOR_RGB2GRAY,
-            )
-            faces = cascade.detectMultiScale(gray, 1.1, 4)
-            if len(faces):
-                box = max(faces, key=lambda f: f[2] * f[3])
+    box = face_box if face_box is not None else detect_face(frame)
     if box is not None:
         x, y, fw, fh = box
         pad_w, pad_h = int(0.5 * fw), int(0.5 * fh)

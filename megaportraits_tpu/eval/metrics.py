@@ -66,21 +66,12 @@ def calculate_ssim(pred: np.ndarray, target: np.ndarray,
 
 def extract_keypoints(image: np.ndarray) -> Optional[np.ndarray]:
     """Face keypoint proxy: Haar face box corners + center (dlib absent)."""
-    try:
-        import cv2
-    except Exception:
-        return None
-    from megaportraits_tpu.data.dataset import _get_face_cascade
+    from megaportraits_tpu.data.dataset import detect_face
 
-    cascade = _get_face_cascade()
-    if cascade is None:
+    box = detect_face(image)
+    if box is None:
         return None
-    img8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-    gray = cv2.cvtColor(img8, cv2.COLOR_RGB2GRAY)
-    faces = cascade.detectMultiScale(gray, 1.1, 4)
-    if not len(faces):
-        return None
-    x, y, w, h = max(faces, key=lambda f: f[2] * f[3])
+    x, y, w, h = box
     return np.array(
         [[x, y], [x + w, y], [x, y + h], [x + w, y + h],
          [x + w / 2, y + h / 2]],
@@ -99,6 +90,32 @@ def calculate_akd(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
 def calculate_aed(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
     """Average euclidean distance over detected keypoints (metrics.py:28-34)."""
     return calculate_akd(pred, target)
+
+
+def calculate_fid(real_features: np.ndarray, fake_features: np.ndarray) -> float:
+    """FID over feature matrices [N, D] (reference train.py:43-53)."""
+    from scipy.linalg import sqrtm
+
+    mu1 = real_features.mean(axis=0)
+    mu2 = fake_features.mean(axis=0)
+    sigma1 = np.cov(real_features, rowvar=False)
+    sigma2 = np.cov(fake_features, rowvar=False)
+    ssdiff = np.sum((mu1 - mu2) ** 2)
+    covmean = sqrtm(sigma1.dot(sigma2))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(ssdiff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
+
+
+def calculate_csim(real_features: np.ndarray, fake_features: np.ndarray) -> float:
+    """Mean pairwise cosine similarity (reference train.py:56-58)."""
+    a = real_features / np.maximum(
+        np.linalg.norm(real_features, axis=1, keepdims=True), 1e-12
+    )
+    b = fake_features / np.maximum(
+        np.linalg.norm(fake_features, axis=1, keepdims=True), 1e-12
+    )
+    return float(np.mean(a @ b.T))
 
 
 def calculate_lpips(pred: np.ndarray, target: np.ndarray, lpips_apply) -> float:

@@ -116,10 +116,10 @@ class PerceptualLoss(nn.Module):
     """Reference PerceptualLoss (model.py:1928-2022).
 
     weights: {'vgg19': 20, 'vggface': 4|5, 'gaze': 4|5, 'lpips': 10}.
-    vggface uses a face-embedding trunk; the facenet InceptionResnetV1 port
-    lands with the weight converter — until then a CustomResNet50-style
-    trunk stands in when enabled (architecture differs; value is still a
-    face-feature L1).
+    vggface (enabled via use_vggface) runs the InceptionResnetV1 port
+    (losses/vggface.py) with feature L1 at the reference's children-[4,5,6,7]
+    taps (model.py:1941). Off by default: ~27M extra frozen params per loss
+    instance and it only carries signal with converted pretrained weights.
     """
 
     weights: Optional[Dict[str, float]] = None
@@ -148,14 +148,16 @@ class PerceptualLoss(nn.Module):
             )
             total = total + w["vgg19"] * vgg_loss
         if w.get("vggface", 0.0) and self.use_vggface:
-            from megaportraits_tpu.models.resnet import CustomResNet50
+            from megaportraits_tpu.losses.vggface import InceptionResnetV1
 
-            face = CustomResNet50(policy=p, name="vggface_trunk")
-            fa = face(p.cast_to_compute(pred_n))
-            fb = face(p.cast_to_compute(tgt_n))
-            total = total + w["vggface"] * jnp.mean(
-                jnp.abs(fa.astype(jnp.float32) - fb.astype(jnp.float32))
+            face = InceptionResnetV1(policy=p, name="vggface")
+            _, fa = face(p.cast_to_compute(pred_n), return_taps=True)
+            _, fb = face(p.cast_to_compute(tgt_n), return_taps=True)
+            face_loss = sum(
+                jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+                for a, b in zip(fa, fb)
             )
+            total = total + w["vggface"] * face_loss
         if w.get("lpips", 0.0):
             lp = LPIPS(policy=p, name="lpips")(pred_n, tgt_n)
             total = total + w["lpips"] * jnp.mean(lp)

@@ -50,7 +50,7 @@ class Student(nn.Module):
         x = max_pool_3x3_s2(x)
         x = ResBlockBN(64, policy=p, name="layer1_0")(x, train)
         x = ResBlockBN(64, policy=p, name="layer1_1")(x, train)
-        x = ResBlockBN(128, policy=p, name="layer2_0")(x, train)
+        x = ResBlockBN(128, downsample=True, policy=p, name="layer2_0")(x, train)
         x = ResBlockBN(128, policy=p, name="layer2_1")(x, train)
 
         x = TorchConv(192, (3, 3), padding=1, policy=p, name="adapter")(x)

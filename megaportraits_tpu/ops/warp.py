@@ -115,6 +115,71 @@ def grid_sample_3d(
     return out.reshape(b, do, ho, wo, c).astype(v.dtype)
 
 
+def _reflect_coords(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torch reflection padding (align_corners=False): reflect about
+    -0.5 and size-0.5, then clamp into the valid pixel range."""
+    lo, hi = -0.5, size - 0.5
+    span = hi - lo
+    x = jnp.mod(x - lo, 2.0 * span)
+    x = jnp.where(x > span, 2.0 * span - x, x) + lo
+    return jnp.clip(x, 0.0, size - 1)
+
+
+def grid_sample_2d(
+    v: jnp.ndarray,
+    coords: jnp.ndarray,
+    align_corners: bool = False,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Bilinear 2D grid sample, torch conventions, NHWC.
+
+    Args:
+      v: [B, H, W, C]; coords: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
+      padding_mode: 'border' | 'reflection' | 'zeros'.
+    """
+    b, h, w, c = v.shape
+    _, ho, wo, _ = coords.shape
+    coords = coords.astype(jnp.float32)
+    x, y = coords[..., 0], coords[..., 1]
+
+    def unnormalize(t, size):
+        if align_corners:
+            return (t + 1.0) * 0.5 * (size - 1)
+        return ((t + 1.0) * size - 1.0) * 0.5
+
+    xp = unnormalize(x, w)
+    yp = unnormalize(y, h)
+    if padding_mode == "reflection":
+        xp = _reflect_coords(xp, w)
+        yp = _reflect_coords(yp, h)
+    elif padding_mode == "border":
+        xp = jnp.clip(xp, 0.0, w - 1)
+        yp = jnp.clip(yp, 0.0, h - 1)
+
+    x0 = jnp.floor(xp)
+    y0 = jnp.floor(yp)
+    tx = xp - x0
+    ty = yp - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    v_flat = v.reshape(b, h * w, c)
+    n_out = ho * wo
+    out = jnp.zeros((b, n_out, c), jnp.float32)
+    for yi, wy in ((y0i, 1.0 - ty), (y0i + 1, ty)):
+        for xi, wx in ((x0i, 1.0 - tx), (x0i + 1, tx)):
+            weight = (wy * wx).reshape(b, n_out, 1)
+            if padding_mode == "zeros":
+                valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+                weight = weight * valid.reshape(b, n_out, 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            yc = jnp.clip(yi, 0, h - 1)
+            idx = (yc * w + xc).reshape(b, n_out)
+            vals = jnp.take_along_axis(v_flat, idx[..., None], axis=1)
+            out = out + weight * vals.astype(jnp.float32)
+    return out.reshape(b, ho, wo, c).astype(v.dtype)
+
+
 def apply_warping_field(
     v: jnp.ndarray,
     flow: jnp.ndarray,

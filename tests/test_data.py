@@ -1,0 +1,87 @@
+"""EMODataset pipeline tests on a synthetic video (npz cache contract,
+__getitem__ schema, batched frame iterator)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from megaportraits_tpu.data.dataset import EMODataset, tps_warp, sweet_spot_crop
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    rng = np.random.default_rng(0)
+    for vid in ("clip_a", "clip_b"):
+        path = str(d / f"{vid}.mp4")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (96, 96)
+        )
+        base = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        for i in range(50):
+            frame = np.roll(base, i, axis=1)
+            writer.write(frame)
+        writer.release()
+    meta = {"clips": {"clip_a": {}, "clip_b": {}}}
+    with open(d / "meta.json", "w") as f:
+        json.dump(meta, f)
+    return str(d)
+
+
+def _make(video_dir, **kw):
+    return EMODataset(
+        width=64, height=64, n_sample_frames=4, sample_rate=10,
+        video_dir=video_dir, json_file=os.path.join(video_dir, "meta.json"),
+        **kw,
+    )
+
+
+def test_getitem_schema_and_star_pair(video_dir):
+    ds = _make(video_dir)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["video_id"] == "clip_a"
+    assert item["video_id_star"] == "clip_b"
+    assert item["source_frames"].shape == (4, 64, 64, 3)
+    assert item["driving_frames"].shape == (4, 64, 64, 3)
+    assert item["source_frames"].dtype == np.float32
+    assert 0.0 <= item["source_frames"].min() <= item["source_frames"].max() <= 1.0
+
+
+def test_npz_cache_roundtrip(video_dir):
+    ds = _make(video_dir)
+    ds.load_and_process_video("clip_a")
+    cache = os.path.join(video_dir, "clip_a_tensors.npz")
+    assert os.path.exists(cache)
+    # Fresh dataset must hit the cache (identical tensors, no reprocessing).
+    ds2 = _make(video_dir)
+    out = ds2.load_and_process_video("clip_a")
+    ref = np.load(cache)
+    np.testing.assert_array_equal(out["source_frames"], ref["source_frames"])
+
+
+def test_frame_batches_schema(video_dir):
+    ds = _make(video_dir)
+    batch = next(ds.frame_batches(batch_size=3, frame_offset=2))
+    for key in ("source", "driving", "source_next", "source_star",
+                "driving_star"):
+        assert batch[key].shape == (3, 64, 64, 3), key
+
+
+def test_tps_warp_is_small_perturbation():
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    warped = tps_warp(img, rng, warp_strength=0.01)
+    assert warped.shape == img.shape
+    assert not np.array_equal(warped, img)
+    assert np.abs(warped - img).mean() < 0.2  # mild distortion only
+
+
+def test_sweet_spot_crop_fallback_center():
+    img = np.zeros((100, 160, 3), dtype=np.float32)  # no face
+    crop = sweet_spot_crop(img, (64, 64))
+    assert crop.shape == (64, 64, 3)

@@ -1,0 +1,74 @@
+"""Smoke tests: one fused training step per stage on tiny shapes, plus the
+data-parallel multichip dry-run on the 8-device fake CPU mesh
+(SURVEY.md section 4 'smoke train step' / 'fake-device-mesh tests')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from megaportraits_tpu.core.config import Config
+from megaportraits_tpu.core.dtypes import FP32_POLICY
+
+SIZE = 64
+
+
+def _cfg():
+    cfg = Config()
+    cfg.data.train_width = cfg.data.train_height = SIZE
+    cfg.training.steps_per_epoch = 1
+    cfg.training.batch_size = 2
+    return cfg
+
+
+def _batch(b=2):
+    rng = np.random.default_rng(0)
+    img = lambda: rng.random((b, SIZE, SIZE, 3)).astype(np.float32)
+    return {
+        "source": img(),
+        "driving": img(),
+        "source_next": img(),
+        "source_star": img(),
+        "driving_star": img(),
+    }
+
+
+@pytest.mark.slow
+def test_base_train_step_decreases_nothing_but_runs():
+    from megaportraits_tpu.train.train_base import init_states, make_train_step
+
+    cfg = _cfg()
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=FP32_POLICY, image_size=SIZE
+    )
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+    g2, d2, metrics, xhat = step(g_state, d_state, _batch())
+    assert np.isfinite(float(metrics["loss_G"]))
+    assert np.isfinite(float(metrics["loss_D"]))
+    assert xhat.shape == (2, SIZE, SIZE, 3)
+    # Params must actually change.
+    before = jax.tree_util.tree_leaves(g_state.params)[0]
+    after = jax.tree_util.tree_leaves(g2.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # Frozen rotation net must NOT change.
+    rb = g_state.params["motion_encoder"]["rotation_net"]
+    ra = g2.params["motion_encoder"]["rotation_net"]
+    for l1, l2 in zip(jax.tree_util.tree_leaves(rb),
+                      jax.tree_util.tree_leaves(ra)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.slow
+def test_multichip_dryrun_8_devices():
+    assert jax.device_count() >= 8, "conftest must provide 8 fake devices"
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
