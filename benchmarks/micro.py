@@ -6,7 +6,11 @@ Components: warp eapp emtn g3d g2d flow disc gbase
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

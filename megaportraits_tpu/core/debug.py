@@ -1,0 +1,48 @@
+"""Numerics debugging / invariant checks.
+
+The reference relies on inline Python asserts in forward passes
+(model.py:126-128, 940-942, 1157) — impossible inside jit. TPU-native
+equivalents (SURVEY.md section 5 'race detection / sanitizers' row):
+
+  * enable_nan_debugging(): jax_debug_nans — aborts on the op producing a
+    NaN, recompiling in op-by-op mode to localize it;
+  * checked(): checkify-wrapped callable that carries shape/finite
+    invariants through jit and reports them on the host;
+  * assert_shape / assert_finite: checkify-based in-graph invariants used
+    where the reference had asserts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import checkify
+
+
+def enable_nan_debugging(enable: bool = True) -> None:
+    jax.config.update("jax_debug_nans", enable)
+
+
+def assert_shape(x: jnp.ndarray, expected: Sequence[int], name: str) -> None:
+    """Static shape invariant (trace-time, like the reference's asserts)."""
+    if tuple(x.shape[1:]) != tuple(expected):
+        raise AssertionError(
+            f"{name}: expected trailing shape {tuple(expected)}, "
+            f"got {tuple(x.shape[1:])}"
+        )
+
+
+def assert_finite(x: jnp.ndarray, name: str) -> None:
+    """In-graph finiteness check (surfaces via checked())."""
+    checkify.check(
+        jnp.all(jnp.isfinite(x.astype(jnp.float32))),
+        f"{name} contains non-finite values",
+    )
+
+
+def checked(fn: Callable) -> Callable:
+    """Wrap fn so checkify.check invariants raise on the host after the
+    jitted call: `err, out = checked(step)(...); err.throw()`."""
+    return checkify.checkify(fn, errors=checkify.user_checks)
