@@ -4,12 +4,16 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: BASELINE.json north-star >= 30 frames/sec/chip (the reference
 publishes no numbers of its own — BASELINE.md).
 
+Measures the streaming serving path (source encoded once via
+Gbase.encode_source, then Gbase.drive per driving frame — the reenactment
+workload the fps target describes).
+
 Methodology: this environment reaches the TPU through a tunnel whose
 per-call round-trip is ~28 ms and whose block_until_ready does not wait for
-device completion, so naive per-call timing is meaningless. We instead run
-K reenactment forwards inside ONE jit via lax.scan (distinct driving frames,
-data-dependent accumulator) with a single scalar readback, for two values of
-K; the slope gives the true per-frame device time.
+device completion, so naive per-call timing is meaningless. We run K drive
+steps inside ONE jit via lax.scan (distinct driving frames, data-dependent
+carry) with a single scalar readback, for two values of K; the slope gives
+the true per-frame device time.
 """
 
 from __future__ import annotations
@@ -33,25 +37,31 @@ def main():
     xs = jax.random.uniform(rng, (1, size, size, 3), jnp.bfloat16)
     variables = jax.jit(model.init)(rng, xs, xs)
 
+    state = jax.jit(
+        lambda v, xs: model.apply(v, xs, method=Gbase.encode_source)
+    )(variables, xs)
+
     def chained(k):
         xds = jax.random.uniform(
             jax.random.PRNGKey(1), (k, 1, size, size, 3), jnp.bfloat16
         )
 
         @jax.jit
-        def run(variables, xs, xds):
+        def run(variables, state, xds):
             def body(carry, xd):
-                xhat, _ = model.apply(variables, xs, xd + carry * 1e-6)
+                xhat = model.apply(
+                    variables, state, xd + carry * 1e-6, method=Gbase.drive
+                )
                 return jnp.mean(xhat).astype(jnp.bfloat16), ()
 
             acc, _ = jax.lax.scan(body, jnp.bfloat16(0.0), xds)
             return acc
 
-        float(run(variables, xs, xds))  # compile + warm
+        float(run(variables, state, xds))  # compile + warm
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            float(run(variables, xs, xds))
+            float(run(variables, state, xds))
         return (time.perf_counter() - t0) / reps
 
     k_small, k_large = 2, 18
@@ -61,7 +71,7 @@ def main():
     fps = 1.0 / per_frame
 
     print(json.dumps({
-        "metric": "gbase_512_reenactment_fps_per_chip",
+        "metric": "gbase_512_streaming_reenactment_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

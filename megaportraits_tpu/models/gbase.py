@@ -77,6 +77,31 @@ class Gbase(nn.Module):
     def encode_motion(self, x: jnp.ndarray, train: bool = False):
         return self.motion_encoder(x, train)
 
+    def encode_source(self, xs: jnp.ndarray, train: bool = False):
+        """One-time source encoding for streaming reenactment.
+
+        Everything driving-independent is precomputed here — appearance
+        volume, source motion, source->canonical warp, G3d — so `drive`
+        only runs the driving-side half per frame (the production serving
+        path; roughly halves per-frame cost vs a full forward).
+        """
+        vs, es = self.appearance_encoder(xs, train)
+        rs, ts, zs = self.motion_encoder(xs, train)
+        w_s2c = self.warp_generator_s2c(rs, ts, zs, es)
+        vc = apply_warping_field(vs, w_s2c, self.warp_normalize_mode)
+        vc2d = self.g3d(vc)
+        return {"vc2d": vc2d, "es": es}
+
+    def drive(self, source_state, xd: jnp.ndarray, train: bool = False):
+        """Per-driving-frame path given a precomputed source state."""
+        rd, td, zd = self.motion_encoder(xd, train)
+        w_c2d = self.warp_generator_c2d(rd, td, zd, source_state["es"])
+        vc2d_warped = apply_warping_field(
+            source_state["vc2d"], w_c2d, self.warp_normalize_mode
+        )
+        projected = jnp.sum(vc2d_warped, axis=1)
+        return self.g2d(projected, train)
+
     def pairwise_outputs(
         self, i1: jnp.ndarray, i2: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
