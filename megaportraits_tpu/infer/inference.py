@@ -69,8 +69,16 @@ def main(cfg: Config):
                       jnp.float32)
     variables = jax.jit(model.init)(rng, dummy, dummy)
 
-    mgr = CheckpointManager(cfg.inference.checkpoint_path)
-    restored = mgr.restore({"g_variables": variables})
+    restored = None
+    for path in (cfg.inference.checkpoint_path,
+                 cfg.inference.checkpoint_path + "/export"):
+        try:
+            mgr = CheckpointManager(path)
+            restored = mgr.restore({"g_variables": variables})
+        except Exception:
+            restored = None
+        if restored is not None:
+            break
     if restored is not None:
         variables = restored["g_variables"]
     else:

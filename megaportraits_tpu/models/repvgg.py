@@ -155,6 +155,19 @@ class RepVGG(nn.Module):
         return x
 
 
+def geodesic_loss(m1: jnp.ndarray, m2: jnp.ndarray,
+                  eps: float = 1e-7) -> jnp.ndarray:
+    """Rotation-matrix geodesic angle loss (mysixdrepnet.py:17-28).
+
+    m1, m2: [B, 3, 3]; returns mean geodesic angle in radians.
+    """
+    m = jnp.matmul(m1.astype(jnp.float32),
+                   jnp.transpose(m2.astype(jnp.float32), (0, 2, 1)))
+    cos = (m[:, 0, 0] + m[:, 1, 1] + m[:, 2, 2] - 1.0) / 2.0
+    cos = jnp.clip(cos, -1.0 + eps, 1.0 - eps)
+    return jnp.mean(jnp.arccos(cos))
+
+
 class SixDRepNet(nn.Module):
     """MySixDRepNet (mysixdrepnet.py:30-69): RepVGG trunk -> GAP -> linear 6
     -> ortho6d rotation matrix.

@@ -90,6 +90,14 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
         if (step_idx + 1) % cfg.training.save_interval == 0:
             ckpt.save(step_idx + 1, {"g": g_state, "d": d_state})
     ckpt.save(total_steps, {"g": g_state, "d": d_state}, wait=True)
+
+    # Export inference payload (params + stats only — the reference's
+    # Gbase.pth equivalent, train.py:429).
+    export = CheckpointManager(cfg.training.checkpoint_path + "/export")
+    g_variables = {"params": g_state.params}
+    if g_state.batch_stats is not None:
+        g_variables["batch_stats"] = g_state.batch_stats
+    export.save(total_steps, {"g_variables": g_variables}, wait=True)
     writer.close()
     return {k: float(v) for k, v in metrics.items()}
 

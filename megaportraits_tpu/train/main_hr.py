@@ -37,14 +37,16 @@ def train_hr(cfg: Config, max_steps: int | None = None,
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
     gbase_vars = jax.jit(gbase.init)(rng, dummy, dummy)
     if gbase_ckpt:
-        mgr = CheckpointManager(gbase_ckpt)
-        restored = mgr.restore({"g": None})
-        if restored and restored.get("g") is not None:
-            gbase_vars = {
-                "params": restored["g"].params,
-                **({"batch_stats": restored["g"].batch_stats}
-                   if restored["g"].batch_stats is not None else {}),
-            }
+        for path in (gbase_ckpt + "/export", gbase_ckpt):
+            try:
+                restored = CheckpointManager(path).restore(
+                    {"g_variables": gbase_vars}
+                )
+            except Exception:
+                restored = None
+            if restored is not None:
+                gbase_vars = restored["g_variables"]
+                break
 
     dataset = EMODataset(
         width=size, height=size,

@@ -36,6 +36,39 @@ def plot_warp_field(ax, warp_field: np.ndarray, title: str,
     ax.set_title(title)
 
 
+def draw_axis(img: np.ndarray, yaw: float, pitch: float, roll: float,
+              tdx: Optional[float] = None, tdy: Optional[float] = None,
+              size: float = 100.0) -> np.ndarray:
+    """Draw head-pose axes on an image (mysixdrepnet.py draw-utils).
+
+    Angles in degrees; img [H, W, 3] uint8 or float [0,1]. Returns uint8.
+    """
+    import cv2
+
+    out = (np.clip(img, 0, 1) * 255).astype(np.uint8) \
+        if img.dtype != np.uint8 else img.copy()
+    h, w = out.shape[:2]
+    pitch_r = pitch * np.pi / 180
+    yaw_r = -yaw * np.pi / 180
+    roll_r = roll * np.pi / 180
+    tdx = tdx if tdx is not None else w / 2
+    tdy = tdy if tdy is not None else h / 2
+
+    x1 = size * (np.cos(yaw_r) * np.cos(roll_r)) + tdx
+    y1 = size * (np.cos(pitch_r) * np.sin(roll_r)
+                 + np.cos(roll_r) * np.sin(pitch_r) * np.sin(yaw_r)) + tdy
+    x2 = size * (-np.cos(yaw_r) * np.sin(roll_r)) + tdx
+    y2 = size * (np.cos(pitch_r) * np.cos(roll_r)
+                 - np.sin(pitch_r) * np.sin(yaw_r) * np.sin(roll_r)) + tdy
+    x3 = size * np.sin(yaw_r) + tdx
+    y3 = size * (-np.cos(yaw_r) * np.sin(pitch_r)) + tdy
+
+    cv2.line(out, (int(tdx), int(tdy)), (int(x1), int(y1)), (0, 0, 255), 3)
+    cv2.line(out, (int(tdx), int(tdy)), (int(x2), int(y2)), (0, 255, 0), 3)
+    cv2.line(out, (int(tdx), int(tdy)), (int(x3), int(y3)), (255, 0, 0), 2)
+    return out
+
+
 def visualize_warp_fields(
     xs: np.ndarray,
     xd: np.ndarray,

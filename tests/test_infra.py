@@ -1,0 +1,102 @@
+"""Infrastructure tests: config schema, Orbax checkpoint roundtrip,
+optimizer freezing mask, mesh/sharding helpers, prefetch."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from megaportraits_tpu.core.checkpoint import CheckpointManager
+from megaportraits_tpu.core.config import Config, load_config
+from megaportraits_tpu.train.state import TrainState, make_optimizer, _trainable_mask
+
+
+def test_config_loads_reference_schema(tmp_path):
+    cfg = load_config("configs/training/stage1-base.yaml")
+    assert cfg.data.train_width == 512
+    assert cfg.training.w_per == 20
+    assert cfg.training.w_fm == 40
+    assert cfg.training.lr == 1e-5
+    assert cfg.training.base_epochs == 100
+    # Unknown keys are ignored, missing keys take defaults.
+    p = tmp_path / "min.yaml"
+    p.write_text("training:\n  lr: 0.001\n  bogus_key: 1\n")
+    cfg2 = load_config(str(p))
+    assert cfg2.training.lr == 0.001
+    assert cfg2.data.train_width == 512
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tx = make_optimizer(1e-4, 10)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    state = TrainState.create(params, None, tx)
+    state = state.apply_gradients({"w": jnp.ones((4, 4)) * 0.1,
+                                   "b": jnp.ones((4,)) * 0.1})
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, {"g": state}, wait=True)
+    assert mgr.latest_step() == 1
+
+    fresh = TrainState.create(params, None, tx)
+    restored = mgr.restore({"g": fresh})["g"]
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.asarray(state.params["w"]))
+    assert int(restored.step) == 1
+    mgr.close()
+
+
+def test_trainable_mask_freezes_rotation_net():
+    params = {
+        "motion_encoder": {
+            "rotation_net": {"trunk": {"kernel": jnp.ones(3)}},
+            "fc": {"kernel": jnp.ones(3)},
+        },
+        "g2d": {"conv": {"kernel": jnp.ones(3)}},
+    }
+    mask = _trainable_mask(params)
+    assert mask["motion_encoder"]["rotation_net"]["trunk"]["kernel"] is False
+    assert mask["motion_encoder"]["fc"]["kernel"] is True
+    assert mask["g2d"]["conv"]["kernel"] is True
+
+
+def test_frozen_params_not_updated_by_optimizer():
+    params = {
+        "rotation_net": {"k": jnp.ones((2,))},
+        "other": {"k": jnp.ones((2,))},
+    }
+    tx = make_optimizer(0.1, 10, params_example=params)
+    state = TrainState.create(params, None, tx)
+    grads = {"rotation_net": {"k": jnp.ones((2,))},
+             "other": {"k": jnp.ones((2,))}}
+    new = state.apply_gradients(grads)
+    np.testing.assert_array_equal(np.asarray(new.params["rotation_net"]["k"]),
+                                  np.asarray(params["rotation_net"]["k"]))
+    assert not np.allclose(np.asarray(new.params["other"]["k"]),
+                           np.asarray(params["other"]["k"]))
+
+
+def test_mesh_and_shard_batch():
+    from megaportraits_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, shard_batch,
+    )
+
+    mesh = make_mesh()
+    assert mesh.devices.size == jax.device_count()
+    batch = {"x": np.ones((8, 4, 4, 3), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding == batch_sharding(mesh)
+
+
+def test_prefetch_to_device_preserves_order():
+    from megaportraits_tpu.data.prefetch import prefetch_to_device
+
+    items = [{"a": np.full((2,), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(items), size=2))
+    assert len(out) == 5
+    for i, item in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(item["a"]),
+                                      np.full((2,), i, np.float32))
