@@ -183,14 +183,80 @@ def sweet_spot_crop(
     return crop[yy][:, xx]
 
 
-def remove_background(frame: np.ndarray) -> np.ndarray:
-    """rembg background removal when available; identity otherwise."""
-    if _rembg_remove is None:
-        return frame
-    rgba = _rembg_remove((frame * 255).astype(np.uint8))
-    rgba = np.asarray(rgba).astype(np.float32) / 255.0
-    alpha = rgba[..., 3:4]
-    return rgba[..., :3] * alpha
+def remove_background(
+    frame: np.ndarray, greenscreen: bool = False
+) -> np.ndarray:
+    """Background removal with optional greenscreen composite
+    (EmoDataset.py:265-282). Uses rembg when available, else the host
+    segmentation provider (data/segmentation.py); identity as last resort.
+    """
+    alpha = None
+    if _rembg_remove is not None:
+        rgba = _rembg_remove((frame * 255).astype(np.uint8))
+        rgba = np.asarray(rgba).astype(np.float32) / 255.0
+        frame, alpha = rgba[..., :3], rgba[..., 3:4]
+    else:
+        try:
+            from megaportraits_tpu.data.segmentation import get_foreground_mask
+
+            alpha = get_foreground_mask(frame)
+        except Exception:
+            return frame
+    if greenscreen:
+        green = np.zeros_like(frame)
+        green[..., 1] = 1.0
+        return frame * alpha + green * (1.0 - alpha)
+    return frame * alpha
+
+
+def crop_and_warp_face(
+    image: np.ndarray,
+    out_size: Tuple[int, int] = (512, 512),
+    apply_warp: bool = True,
+    warp_strength: float = 0.01,
+    rng: Optional[np.random.Generator] = None,
+    cache_path: Optional[str] = None,
+) -> np.ndarray:
+    """Standalone sweet-spot crop (+ optional TPS warp) with PNG result
+    caching — the reference's crop_and_warp_face helper (model.py:2040-2135).
+    """
+    if cache_path and os.path.exists(cache_path):
+        from PIL import Image
+
+        return np.asarray(
+            Image.open(cache_path).convert("RGB"), dtype=np.float32
+        ) / 255.0
+    rng = rng or np.random.default_rng(0)
+    crop = sweet_spot_crop(image, out_size)
+    if apply_warp:
+        crop = tps_warp(crop, rng, warp_strength)
+    if cache_path:
+        from PIL import Image
+
+        Image.fromarray(
+            (np.clip(crop, 0, 1) * 255).astype(np.uint8)
+        ).save(cache_path)
+    return crop
+
+
+def remove_background_and_convert_to_rgb(
+    image: np.ndarray, cache_path: Optional[str] = None
+) -> np.ndarray:
+    """Standalone background removal with PNG caching (model.py:2096-2135)."""
+    if cache_path and os.path.exists(cache_path):
+        from PIL import Image
+
+        return np.asarray(
+            Image.open(cache_path).convert("RGB"), dtype=np.float32
+        ) / 255.0
+    out = remove_background(image)
+    if cache_path:
+        from PIL import Image
+
+        Image.fromarray(
+            (np.clip(out, 0, 1) * 255).astype(np.uint8)
+        ).save(cache_path)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +299,8 @@ class EMODataset:
         json_file: str = "./data/overfit.json",
         cache_dir: Optional[str] = None,
         remove_background_flag: bool = False,
+        use_greenscreen: bool = False,
+        save_frame_pngs: bool = False,
         apply_crop_warping: bool = True,
         warp_strength: float = 0.01,
         use_gpu: bool = False,  # reference-schema compat; unused on TPU host
@@ -247,6 +315,8 @@ class EMODataset:
         self.video_dir = video_dir
         self.cache_dir = cache_dir or video_dir
         self.remove_background_flag = remove_background_flag
+        self.use_greenscreen = use_greenscreen
+        self.save_frame_pngs = save_frame_pngs
         self.apply_crop_warping = apply_crop_warping
         self.warp_strength = warp_strength
         self.rng = np.random.default_rng(seed)
@@ -307,15 +377,24 @@ class EMODataset:
 
         raw = self._decode_video(os.path.join(self.video_dir, f"{video_id}.mp4"))
         source, driving = [], []
-        for frame in raw:
+        for i, frame in enumerate(raw):
             if self.remove_background_flag:
-                frame = remove_background(frame)
+                frame = remove_background(frame, self.use_greenscreen)
             crop = sweet_spot_crop(frame, (self.width, self.height))
             source.append(crop)
             drv = crop
             if self.apply_crop_warping:
                 drv = tps_warp(crop, self.rng, self.warp_strength)
             driving.append(drv)
+            if self.save_frame_pngs:
+                # Reference PNG frame dumps (EmoDataset.py:224-240).
+                from PIL import Image
+
+                png_dir = os.path.join(self.cache_dir, f"{video_id}_frames")
+                os.makedirs(png_dir, exist_ok=True)
+                Image.fromarray(
+                    (np.clip(crop, 0, 1) * 255).astype(np.uint8)
+                ).save(os.path.join(png_dir, f"frame_{i}.png"))
         source = augment_pair(np.stack(source), self.rng).astype(np.float32)
         driving = augment_pair(np.stack(driving), self.rng).astype(np.float32)
         out = {"source_frames": source, "driving_frames": driving}

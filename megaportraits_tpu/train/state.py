@@ -96,5 +96,13 @@ def make_optimizer(
     if params_example is not None:
         mask = _trainable_mask(params_example)
         if not jax.tree_util.tree_all(jax.tree_util.tree_map(bool, mask)):
-            tx = optax.masked(tx, mask)
+            # NOTE: optax.masked passes raw gradients through for masked-out
+            # leaves (they would be applied verbatim) — frozen subtrees must
+            # be routed to set_to_zero instead.
+            labels = jax.tree_util.tree_map(
+                lambda trainable: "train" if trainable else "frozen", mask
+            )
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, labels
+            )
     return tx
