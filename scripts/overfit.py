@@ -1,0 +1,86 @@
+"""Overfit harness: train stage-1 on the reference's junk videos
+(BASELINE.json configs[2] — 'train_base overfit run on data/overfit.json').
+
+Usage: python scripts/overfit.py [--size 256] [--steps 60] [--batch 2]
+Preprocesses the 4 junk/*.mp4 clips into the npz cache (cache under
+/tmp/megaportraits_cache since /root/reference is read-only), runs fused
+train steps on the device, prints the loss trajectory, dumps sample frames.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+import jax
+
+from megaportraits_tpu.core.config import Config
+from megaportraits_tpu.core.dtypes import DEFAULT_POLICY
+from megaportraits_tpu.data.dataset import EMODataset
+from megaportraits_tpu.train.train_base import init_states, make_train_step
+from megaportraits_tpu.utils.image import save_image
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=60)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--video-dir", default="/root/reference/junk")
+    parser.add_argument("--json-file",
+                        default="/root/reference/data/overfit.json")
+    parser.add_argument("--frames", type=int, default=8)
+    parser.add_argument("--log-every", type=int, default=10)
+    args = parser.parse_args()
+
+    cache = "/tmp/megaportraits_cache"
+    os.makedirs(cache, exist_ok=True)
+    t0 = time.time()
+    dataset = EMODataset(
+        width=args.size, height=args.size,
+        n_sample_frames=args.frames, sample_rate=10,
+        video_dir=args.video_dir, json_file=args.json_file,
+        cache_dir=cache,
+    )
+    # Warm the cache for all clips (preprocessing resumability contract).
+    for vid in dataset.video_ids:
+        dataset.load_and_process_video(vid)
+        print(f"preprocessed {vid} ({time.time() - t0:.1f}s)", flush=True)
+
+    cfg = Config()
+    cfg.data.train_width = cfg.data.train_height = args.size
+    cfg.training.steps_per_epoch = args.steps
+    cfg.training.lr = 3e-5
+
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=DEFAULT_POLICY,
+        image_size=args.size,
+    )
+    print(f"init done ({time.time() - t0:.1f}s)", flush=True)
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+
+    batches = dataset.frame_batches(args.batch, frame_offset=3, seed=0)
+    first_g = None
+    for i, batch in zip(range(args.steps), batches):
+        g_state, d_state, metrics, xhat = step(g_state, d_state, batch)
+        if i == 0 or (i + 1) % args.log_every == 0:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            if first_g is None:
+                first_g = m["loss_G"]
+            print(f"step {i + 1}: {m} ({time.time() - t0:.1f}s)", flush=True)
+            save_image(np.asarray(xhat, dtype=np.float32),
+                       f"output_images/overfit_pred_{i + 1}.png")
+            save_image(batch["driving"],
+                       f"output_images/overfit_target_{i + 1}.png")
+    final_g = float(metrics["loss_G"])
+    print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "
+          f"({'DECREASED' if final_g < first_g else 'NOT DECREASED'})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,13 @@ testing shard_map/pjit sharding without TPU pods — SURVEY.md section 4).
 
 import os
 
-# NOTE: this environment's jax build ignores JAX_PLATFORMS (the 'axon' TPU
-# plugin wins); JAX_PLATFORM_NAME does force CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Platform forcing quirks of this environment:
+#  * the axon TPU plugin hijacks JAX_PLATFORMS (even JAX_PLATFORMS=cpu lands
+#    on the TPU) — never set JAX_PLATFORMS;
+#  * a pytest plugin imports jax BEFORE conftest, so JAX_PLATFORM_NAME set
+#    here via os.environ is too late (jax binds it at import). Use
+#    jax.config.update instead — backends initialize lazily, so this works.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"  # for subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +23,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # (~1e-2 error vs float64 ground truth); parity tests need real float32.
 import jax  # noqa: E402
 
+jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # This host has a single CPU core: XLA compiles dominate test time. A
