@@ -28,14 +28,26 @@ COMPRESS_DIM = 512
 
 class Emtn(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    # The frozen SixDRepNet was trained at 224x224 (its detector pipeline
+    # resizes to 224, mysixdrepnet.py:798-801, though the reference's
+    # predict() skips the transform and feeds raw 512 crops). Feeding the
+    # estimator its training resolution is both more faithful to the
+    # estimator and ~5x cheaper at 512 inputs. Set to 0 to disable.
+    rotation_input_size: int = 224
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        from megaportraits_tpu.ops.resize import linear_resize
+
         p = self.policy
         x = p.cast_to_compute(x)
 
         # Frozen head-pose rotation (SixDRepNet, deploy-mode RepVGG-B1g2).
-        _, euler_deg = SixDRepNet(policy=p, name="rotation_net")(x, False)
+        rot_in = x
+        s = self.rotation_input_size
+        if s and (x.shape[1] > s or x.shape[2] > s):
+            rot_in = linear_resize(x, (s, s), axes=(1, 2), align_corners=False)
+        _, euler_deg = SixDRepNet(policy=p, name="rotation_net")(rot_in, False)
         rotation = jax.lax.stop_gradient(euler_deg)
 
         # Translation from the resnet18 'head pose' net (fc -> 6, keep [3:]).

@@ -55,6 +55,7 @@ def make_hr_train_step(
     w_sup: float = 1.0,
     w_unsup: float = 1.0,
     w_per: float = 1.0,
+    donate: bool = True,
 ):
     def step(state: TrainState, batch: Dict[str, Any]):
         xs, xd, target_hr = batch["source"], batch["driving"], batch["target_hr"]
@@ -102,4 +103,4 @@ def make_hr_train_step(
         )(state.params)
         return state.apply_gradients(grads, new_stats), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

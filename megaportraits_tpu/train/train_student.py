@@ -41,6 +41,7 @@ def make_student_train_step(
     teacher: GHR,
     teacher_variables: Any,
     cfg: Config,
+    donate: bool = True,
 ):
     def step(state: TrainState, batch: Dict[str, Any]):
         xs, xd = batch["source"], batch["driving"]
@@ -71,4 +72,4 @@ def make_student_train_step(
         )
         return state.apply_gradients(grads, new_stats), {"loss_student": loss}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
