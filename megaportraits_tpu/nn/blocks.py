@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
@@ -151,59 +153,200 @@ class ResBlock3D(nn.Module):
 class _BatchNorm(nn.Module):
     """torch-default BatchNorm2d (momentum 0.1, eps 1e-5), float32 stats.
 
-    Pass axis_name for cross-replica (sync) batch norm under shard_map/jit
-    with a data-parallel mesh axis.
+    Hand-rolled (vs flax nn.BatchNorm) so fused inference paths can read
+    scale/bias/mean/var directly and fold them into conv epilogues
+    (ops/pallas/conv2d.fused_conv3x3). Parameter tree:
+      params:      {scale, bias}
+      batch_stats: {mean, var}
+    Pass axis_name for cross-replica (sync) batch norm under a data-parallel
+    mesh axis.
     """
 
     policy: Policy = DEFAULT_POLICY
     axis_name: Optional[str] = None
+    momentum: float = 0.9
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=self.policy.param_dtype,
-            axis_name=self.axis_name,
-        )(x).astype(x.dtype)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.policy.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.policy.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if self.axis_name is not None:
+                var = jax.lax.pmean(var, self.axis_name)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    @staticmethod
+    def folded_scale_shift(bn_params, bn_stats, eps: float = 1e-5):
+        """(scale, shift) such that BN(x) == x * scale + shift (eval mode)."""
+        inv = jax.lax.rsqrt(bn_stats["var"].astype(jnp.float32) + eps)
+        scale = bn_params["scale"].astype(jnp.float32) * inv
+        shift = (bn_params["bias"].astype(jnp.float32)
+                 - bn_stats["mean"].astype(jnp.float32) * scale)
+        return scale, shift
 
 
 class ResBlock2D(nn.Module):
     """Reference ResBlock2D w/ BatchNorm (model.py:600-640).
 
     conv3-BN-ReLU-conv3-BN (+ downsampled or 1x1 shortcut) -> ReLU.
+
+    Owns its conv/BN parameters directly so that, at inference on eligible
+    shapes, both conv3x3+BN(+ReLU)(+residual) halves can run as single fused
+    Pallas kernels (ops/pallas/conv2d.fused_conv3x3 — measured 1.85x over
+    the XLA conv standalone and 1.34x per block in a scan microbench, but
+    currently ~5% SLOWER inside the full drive graph where the pallas_call
+    boundaries block XLA's surrounding fusion/overlap — see
+    benchmarks/RESULTS.md). Off by default pending whole-chain kernelization.
     """
 
     out_channels: int
     downsample: bool = False
     policy: Policy = DEFAULT_POLICY
     bn_axis_name: Optional[str] = None
+    use_pallas: bool = False
+
+    def _conv_params(self, name, kh, kw, cin, cout):
+        from megaportraits_tpu.nn.layers import (
+            torch_bias_uniform, torch_kaiming_uniform,
+        )
+
+        kernel = self.param(f"{name}_kernel", torch_kaiming_uniform(),
+                            (kh, kw, cin, cout), self.policy.param_dtype)
+        bias = self.param(f"{name}_bias", torch_bias_uniform(kh * kw * cin),
+                          (cout,), self.policy.param_dtype)
+        return kernel, bias
+
+    def _bn_params(self, name, c):
+        scale = self.param(f"{name}_scale", nn.initializers.ones, (c,),
+                           self.policy.param_dtype)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, (c,),
+                          self.policy.param_dtype)
+        mean = self.variable("batch_stats", f"{name}_mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", f"{name}_var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean, var
+
+    def _bn_apply(self, x, scale, bias, mean_v, var_v, train):
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if self.bn_axis_name is not None:
+                mean = jax.lax.pmean(mean, self.bn_axis_name)
+                var = jax.lax.pmean(var, self.bn_axis_name)
+            if not self.is_initializing():
+                mean_v.value = 0.9 * mean_v.value + 0.1 * mean
+                var_v.value = 0.9 * var_v.value + 0.1 * var
+        else:
+            mean, var = mean_v.value, var_v.value
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(x.dtype)
+
+    @staticmethod
+    def _fold(conv_bias, bn_scale, bn_bias, mean, var):
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + 1e-5)
+        scale = bn_scale.astype(jnp.float32) * inv
+        shift = (bn_bias.astype(jnp.float32)
+                 + (conv_bias.astype(jnp.float32)
+                    - mean.astype(jnp.float32)) * scale)
+        return scale, shift
+
+    def _eligible(self, x) -> bool:
+        b, h, w, c = x.shape
+        f = self.out_channels
+        if not self.use_pallas or self.downsample:
+            return False
+        # whole padded input + output + weights must sit in VMEM comfortably
+        bytes_in = h * w * max(c, f) * 2
+        return (
+            c % 128 == 0 and f % 128 == 0
+            and h % 8 == 0 and w % 8 == 0
+            and bytes_in <= 5 * 1024 * 1024
+            and c == f  # residual fuses only when shapes match
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        out = TorchConv(self.out_channels, (3, 3), padding=1,
-                        policy=self.policy, name="conv1")(x)
-        out = _BatchNorm(self.policy, self.bn_axis_name, name="bn1")(out, train)
-        out = _relu(out)
-        out = TorchConv(self.out_channels, (3, 3), padding=1,
-                        policy=self.policy, name="conv2")(out)
-        out = _BatchNorm(self.policy, self.bn_axis_name, name="bn2")(out, train)
+        f = self.out_channels
+        k1, b1 = self._conv_params("conv1", 3, 3, in_channels, f)
+        bn1 = self._bn_params("bn1", f)
+        k2, b2 = self._conv_params("conv2", 3, 3, f, f)
+        bn2 = self._bn_params("bn2", f)
 
         identity = x
         if self.downsample:
-            identity = TorchConv(self.out_channels, (1, 1), strides=2,
-                                 policy=self.policy, name="downsample_conv")(identity)
-            identity = _BatchNorm(self.policy, self.bn_axis_name,
-                                  name="downsample_bn")(identity, train)
-        elif in_channels != self.out_channels:
-            identity = TorchConv(self.out_channels, (1, 1),
-                                 policy=self.policy, name="shortcut_conv")(identity)
-            identity = _BatchNorm(self.policy, self.bn_axis_name,
-                                  name="shortcut_bn")(identity, train)
+            ks, bs = self._conv_params("downsample_conv", 1, 1, in_channels, f)
+            bns = self._bn_params("downsample_bn", f)
+            identity = self._conv(x, ks, bs, stride=2)
+            identity = self._bn_apply(identity, bns[0], bns[1], bns[2],
+                                      bns[3], train)
+        elif in_channels != f:
+            ks, bs = self._conv_params("shortcut_conv", 1, 1, in_channels, f)
+            bns = self._bn_params("shortcut_bn", f)
+            identity = self._conv(x, ks, bs, stride=1)
+            identity = self._bn_apply(identity, bns[0], bns[1], bns[2],
+                                      bns[3], train)
+
+        if not train and not self.is_initializing() and self._eligible(x):
+            from megaportraits_tpu.ops.pallas.conv2d import fused_conv3x3
+
+            cdt = self.policy.compute_dtype
+            s1, t1 = self._fold(b1, bn1[0], bn1[1], bn1[2].value, bn1[3].value)
+            s2, t2 = self._fold(b2, bn2[0], bn2[1], bn2[2].value, bn2[3].value)
+            run1 = lambda img: fused_conv3x3(  # noqa: E731
+                img, k1.astype(cdt), s1, t1, residual=None, relu=True)
+            run2 = lambda img, res: fused_conv3x3(  # noqa: E731
+                img, k2.astype(cdt), s2, t2, residual=res, relu=True)
+            if x.shape[0] == 1:  # streaming path: skip vmap batching overhead
+                h1 = run1(x[0].astype(cdt))
+                return run2(h1, identity[0].astype(cdt))[None]
+            h1 = jax.vmap(run1)(x.astype(cdt))
+            return jax.vmap(run2)(h1, identity.astype(cdt))
+
+        out = self._conv(x, k1, b1)
+        out = self._bn_apply(out, bn1[0], bn1[1], bn1[2], bn1[3], train)
+        out = _relu(out)
+        out = self._conv(out, k2, b2)
+        out = self._bn_apply(out, bn2[0], bn2[1], bn2[2], bn2[3], train)
         return _relu(out + identity)
+
+    def _conv(self, x, kernel, bias, stride: int = 1):
+        cdt = self.policy.compute_dtype
+        pad = (kernel.shape[0] - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt), kernel.astype(cdt),
+            window_strides=(stride, stride),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(cdt)
 
 
 class ResBlockBN(nn.Module):

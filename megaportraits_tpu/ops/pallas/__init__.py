@@ -1,3 +1,1 @@
-from megaportraits_tpu.ops.pallas.fused_norm import (
-    fused_adaptive_group_norm_relu,
-)
+from megaportraits_tpu.ops.pallas.conv2d import fused_conv3x3

@@ -1,0 +1,60 @@
+"""Parity tests for the Pallas fused conv3x3 (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from megaportraits_tpu.core.dtypes import FP32_POLICY
+from megaportraits_tpu.nn.blocks import ResBlock2D
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_fused_conv3x3_matches_xla_conv():
+    from megaportraits_tpu.ops.pallas.conv2d import fused_conv3x3
+
+    h = w = 16
+    c = f = 128
+    x = jax.random.normal(KEY, (h, w, c), jnp.float32)
+    kern = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, f),
+                             jnp.float32) * 0.05
+    scale = jax.random.uniform(jax.random.PRNGKey(2), (f,), jnp.float32,
+                               0.5, 1.5)
+    shift = jax.random.normal(jax.random.PRNGKey(3), (f,)) * 0.1
+    res = jax.random.normal(jax.random.PRNGKey(4), (h, w, f), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_conv3x3(x, kern, scale, shift, residual=res, relu=True)
+
+    ref = jax.lax.conv_general_dilated(
+        x[None], kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0]
+    ref = jnp.maximum(ref * scale + shift + res, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_resblock2d_fused_path_matches_plain():
+    x = jax.random.normal(KEY, (1, 16, 16, 128), jnp.float32)
+    fused = ResBlock2D(128, policy=FP32_POLICY, use_pallas=True)
+    plain = ResBlock2D(128, policy=FP32_POLICY, use_pallas=False)
+    variables = fused.init(KEY, x)
+    # Non-trivial BN stats.
+    stats = {
+        k: (jax.random.uniform(jax.random.PRNGKey(i), v.shape, jnp.float32,
+                               0.5, 1.5)
+            if "var" in k else
+            jax.random.normal(jax.random.PRNGKey(i + 50), v.shape) * 0.2)
+        for i, (k, v) in enumerate(variables["batch_stats"].items())
+    }
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    with pltpu.force_tpu_interpret_mode():
+        out_f = fused.apply(variables, x)
+    out_p = plain.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               atol=2e-3, rtol=2e-3)
