@@ -4,19 +4,20 @@ The reference Student (model.py:1614-1645) chains a from-scratch ResNet18
 *classifier* (1000-dim vector output) into conv ResBlocks and a SPADE
 decoder with no upsampling — it cannot execute as written (SURVEY.md
 section 2.1 'Student'). We keep its capability contract (ResNet18-style
-encoder, 192->...->24 bottleneck, 6 SPADE res-blocks conditioned on a
-per-avatar embedding index, InstanceNorm+ReLU+1x1 conv head) and make it a
-real image-to-image network:
+encoder, 192->...->24 bottleneck, SIX SPADE res-blocks conditioned on a
+per-avatar embedding index, InstanceNorm+ReLU head) and make it a real
+image-to-image network designed for the real-time-at-1024 north-star
+(BASELINE.md): all SPADE capacity sits at <=1/4 resolution, and a
+lightweight IN+conv upsampling tail reaches full resolution — running
+SPADE blocks at 1024^2 is HBM-bound (~800 MB per InstanceNorm pass) and
+measured 6 fps; this layout reaches real-time (benchmarks/RESULTS.md).
 
   encoder: ResNet18 trunk stages 0-2 (stride 8, 128 ch) -> conv to 192 ->
-           ResBlock chain 192,192,192,192,96,48,24 (stride 1)
-  decoder: SPADEResBlock 24->48->96 with x2 nearest upsample between
-           (back to full resolution at stride 1), then SPADE blocks
-           192,192,192 as in the reference list
-  head:    InstanceNorm -> ReLU -> 1x1 conv -> 3, sigmoid
-
-Distillation target is GHR's output (train_student, train_highres.py:365).
-At 1024x1024 the whole forward is a single fused XLA graph.
+           ResBlock chain 192,192,192,192,96,48,24 (stride 1, at /8)
+  decoder: SPADEResBlock 24->48->96->192 at /8, x2 up, 192->192 x2 at /4
+           (six SPADE blocks, as in the reference list)
+  tail:    x2 up + conv3x3-64 + IN + ReLU (at /2),
+           x2 up + conv3x3-32 + IN + ReLU (full res), 1x1 conv -> 3, sigmoid
 """
 
 from __future__ import annotations
@@ -57,29 +58,22 @@ class Student(nn.Module):
         for i, ch in enumerate([192, 192, 192, 192, 96, 48, 24]):
             x = ResBlockBN(ch, policy=p, name=f"enc_res{i}")(x, train)
 
-        # SPADE decoder, upsampling back to full resolution (x8).
-        x = SPADEResBlock(48, self.num_avatars, policy=p, name="dec0")(
-            x, avatar_index
-        )
+        # SPADE decoder: capacity at /8 and /4 only.
+        for i, ch in enumerate([48, 96, 192]):
+            x = SPADEResBlock(ch, self.num_avatars, policy=p,
+                              name=f"dec{i}")(x, avatar_index)
         x = upsample_nearest(x, (2, 2), axes=(1, 2))
-        x = SPADEResBlock(96, self.num_avatars, policy=p, name="dec1")(
-            x, avatar_index
-        )
-        x = upsample_nearest(x, (2, 2), axes=(1, 2))
-        x = SPADEResBlock(192, self.num_avatars, policy=p, name="dec2")(
-            x, avatar_index
-        )
-        x = upsample_nearest(x, (2, 2), axes=(1, 2))
-        x = SPADEResBlock(192, self.num_avatars, policy=p, name="dec3")(
-            x, avatar_index
-        )
-        x = SPADEResBlock(192, self.num_avatars, policy=p, name="dec4")(
-            x, avatar_index
-        )
-        x = SPADEResBlock(192, self.num_avatars, policy=p, name="dec5")(
-            x, avatar_index
-        )
+        for i in (3, 4, 5):
+            x = SPADEResBlock(192, self.num_avatars, policy=p,
+                              name=f"dec{i}")(x, avatar_index)
 
+        # Lightweight tail to full resolution.
+        x = upsample_nearest(x, (2, 2), axes=(1, 2))
+        x = TorchConv(64, (3, 3), padding=1, policy=p, name="tail_conv0")(x)
+        x = InstanceNorm()(x)
+        x = nn.relu(x)
+        x = upsample_nearest(x, (2, 2), axes=(1, 2))
+        x = TorchConv(32, (3, 3), padding=1, policy=p, name="tail_conv1")(x)
         x = InstanceNorm()(x)
         x = nn.relu(x)
         x = TorchConv(3, (1, 1), policy=p, name="final_conv")(x)
