@@ -155,6 +155,23 @@ class RepVGG(nn.Module):
         return x
 
 
+class SixDRepNet2(nn.Module):
+    """ResNet-backbone 6D-rotation estimator (mysixdrepnet.py:72-136):
+    resnet18-style trunk -> linear 6 -> ortho6d rotation matrix."""
+
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from megaportraits_tpu.models.resnet import BasicBlock, _ResNetTrunk
+
+        feats = _ResNetTrunk(BasicBlock, (2, 2, 2, 2), policy=self.policy,
+                             name="trunk")(x, train)
+        pooled = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
+        six = TorchDense(6, policy=self.policy, name="linear_reg")(pooled)
+        return rotation_6d_to_matrix(six.astype(jnp.float32))
+
+
 def geodesic_loss(m1: jnp.ndarray, m2: jnp.ndarray,
                   eps: float = 1e-7) -> jnp.ndarray:
     """Rotation-matrix geodesic angle loss (mysixdrepnet.py:17-28).

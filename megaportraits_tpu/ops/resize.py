@@ -168,6 +168,14 @@ def gaussian_kernel_2d(scale: float) -> Tuple[np.ndarray, int, int]:
     return kernel.astype(np.float32), ka, kb
 
 
+def image_pyramid(x: jnp.ndarray, scales: Sequence[float] = (0.5, 0.25)):
+    """Anti-aliased image pyramid (reference ImagePyramide, model.py:1070-1085).
+
+    Returns {str(scale): band-limited downsample} over NHWC images.
+    """
+    return {str(s): anti_alias_downsample(x, s) for s in scales}
+
+
 def anti_alias_downsample(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Band-limited downsample of NHWC images (ImagePyramide building block).
 

@@ -260,3 +260,27 @@ def test_grid_sample_3d_is_differentiable():
     assert np.isfinite(np.asarray(gv)).all()
     assert np.isfinite(np.asarray(gc)).all()
     assert float(jnp.abs(gc).max()) > 0.0
+
+
+def test_grid_sample_3d_gradients_match_torch():
+    """Backward parity: d(sum(grid_sample))/d{v, coords} vs torch autograd."""
+    import jax
+
+    v = RNG.standard_normal((1, 4, 6, 5, 3)).astype(np.float32)
+    coords = RNG.uniform(-0.9, 0.9, (1, 3, 4, 4, 3)).astype(np.float32)
+
+    def loss_jax(v_, c_):
+        return jnp.sum(grid_sample_3d(jnp.asarray(v_), jnp.asarray(c_)))
+
+    gv, gc = jax.grad(loss_jax, argnums=(0, 1))(jnp.asarray(v),
+                                                jnp.asarray(coords))
+
+    vt = torch.from_numpy(v).permute(0, 4, 1, 2, 3).requires_grad_(True)
+    ct = torch.from_numpy(coords).requires_grad_(True)
+    out = F.grid_sample(vt, ct, mode="bilinear", padding_mode="border",
+                        align_corners=True)
+    out.sum().backward()
+    np.testing.assert_allclose(
+        np.asarray(gv), vt.grad.permute(0, 2, 3, 4, 1).numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(gc), ct.grad.numpy(), atol=1e-4)
