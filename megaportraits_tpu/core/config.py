@@ -61,6 +61,7 @@ class TrainingConfig:
     # TPU-native additions (no reference counterpart).
     seed: int = 0
     use_bf16: bool = True
+    unroll_steps: int = 1  # train steps per device call (lax.scan)
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
     steps_per_epoch: Optional[int] = None
     num_avatars: int = 4

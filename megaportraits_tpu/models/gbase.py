@@ -42,14 +42,27 @@ class Gbase(nn.Module):
     # (model.py:1056-1058) for checkpoint parity; 'standard' is the textbook
     # grid+flow sampling.
     warp_normalize_mode: str = "reference"
+    # Rematerialize the heavy submodules in the backward pass — required to
+    # fit the fused multi-forward training graph at 512^2 in HBM
+    # (jax.checkpoint; trades ~30% extra forward FLOPs for activations).
+    remat: bool = False
 
     def setup(self):
-        self.appearance_encoder = Eapp(policy=self.policy)
-        self.motion_encoder = Emtn(policy=self.policy)
-        self.warp_generator_s2c = WarpGenerator(invert=True, policy=self.policy)
-        self.warp_generator_c2d = WarpGenerator(invert=False, policy=self.policy)
-        self.g3d = G3d(policy=self.policy)
-        self.g2d = G2d(policy=self.policy)
+        if self.remat:
+            eapp_cls = nn.remat(Eapp, static_argnums=(2,))
+            emtn_cls = nn.remat(Emtn, static_argnums=(2,))
+            g3d_cls = nn.remat(G3d)
+            g2d_cls = nn.remat(G2d, static_argnums=(2,))
+            warp_cls = nn.remat(WarpGenerator)
+        else:
+            eapp_cls, emtn_cls = Eapp, Emtn
+            g3d_cls, g2d_cls, warp_cls = G3d, G2d, WarpGenerator
+        self.appearance_encoder = eapp_cls(policy=self.policy)
+        self.motion_encoder = emtn_cls(policy=self.policy)
+        self.warp_generator_s2c = warp_cls(invert=True, policy=self.policy)
+        self.warp_generator_c2d = warp_cls(invert=False, policy=self.policy)
+        self.g3d = g3d_cls(policy=self.policy)
+        self.g2d = g2d_cls(policy=self.policy)
 
     def __call__(
         self, xs: jnp.ndarray, xd: jnp.ndarray, train: bool = False

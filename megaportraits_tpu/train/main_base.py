@@ -61,34 +61,48 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
         g_state, d_state = restored["g"], restored["d"]
         print(f"Resumed from checkpoint step {latest}")
 
-    step_fn = make_train_step(gbase, disc, ploss, p_vars, cfg)
+    unroll = max(1, cfg.training.unroll_steps)
+    step_fn = make_train_step(gbase, disc, ploss, p_vars, cfg, unroll=unroll)
     writer = MetricsWriter()
 
-    batches = prefetch_to_device(
-        dataset.frame_batches(
-            cfg.training.batch_size, cfg.training.frame_offset,
-            seed=cfg.training.seed,
-        ),
-        sharding=batch_sharding(mesh),
+    raw_batches = dataset.frame_batches(
+        cfg.training.batch_size, cfg.training.frame_offset,
+        seed=cfg.training.seed,
     )
+
+    def grouped():
+        if unroll == 1:
+            yield from raw_batches
+            return
+        while True:
+            group = [next(raw_batches) for _ in range(unroll)]
+            yield {
+                k: np.stack([g[k] for g in group]) for k in group[0]
+            }
+
+    batches = prefetch_to_device(grouped(), sharding=batch_sharding(mesh))
 
     total_steps = max_steps or cfg.training.base_epochs * steps_per_epoch
     start = int(g_state.step)
     t0 = time.time()
     metrics = {}
-    for step_idx, batch in zip(range(start, total_steps), batches):
+    for call_idx, batch in zip(
+        range(start // unroll, -(-total_steps // unroll)), batches
+    ):
         g_state, d_state, metrics, xhat = step_fn(g_state, d_state, batch)
-        if (step_idx + 1) % cfg.training.log_interval == 0:
+        step_idx = (call_idx + 1) * unroll
+        if step_idx % cfg.training.log_interval < unroll:
             host = {k: float(v) for k, v in metrics.items()}
-            host["steps_per_sec"] = (step_idx + 1 - start) / (time.time() - t0)
+            host["steps_per_sec"] = (step_idx - start) / (time.time() - t0)
             writer.write(step_idx, host)
-            print(f"step {step_idx + 1}/{total_steps}: "
+            print(f"step {step_idx}/{total_steps}: "
                   f"G={host['loss_G']:.4f} D={host['loss_D']:.4f} "
                   f"({host['steps_per_sec']:.2f} it/s)")
-            save_image(np.asarray(xhat, dtype=np.float32),
-                       f"output_images/pred_frame_{step_idx}.png")
-        if (step_idx + 1) % cfg.training.save_interval == 0:
-            ckpt.save(step_idx + 1, {"g": g_state, "d": d_state})
+            if xhat is not None:
+                save_image(np.asarray(xhat, dtype=np.float32),
+                           f"output_images/pred_frame_{step_idx}.png")
+        if step_idx % cfg.training.save_interval < unroll:
+            ckpt.save(step_idx, {"g": g_state, "d": d_state})
     ckpt.save(total_steps, {"g": g_state, "d": d_state}, wait=True)
 
     # Export inference payload (params + stats only — the reference's

@@ -58,7 +58,9 @@ def init_states(
     image_size: Optional[int] = None,
 ) -> Tuple[Gbase, Discriminator, PerceptualLoss, Any, TrainState, TrainState]:
     size = image_size or cfg.data.train_width
-    gbase = Gbase(policy=policy)
+    # remat the heavy submodules: without it the fused multi-forward
+    # training graph does not fit HBM at 512^2.
+    gbase = Gbase(policy=policy, remat=size >= 256)
     disc = Discriminator(policy=policy)
     ploss = PerceptualLoss(
         weights={"vgg19": 20.0, "vggface": 4.0, "gaze": 5.0, "lpips": 10.0},
@@ -90,8 +92,15 @@ def make_train_step(
     ploss_vars: Any,
     cfg: Config,
     donate: bool = True,
+    unroll: int = 1,
 ):
-    """Build the single fused train step (D update + G update + metrics)."""
+    """Build the fused train step (D update + G update + metrics).
+
+    With unroll > 1, the returned function takes batches stacked on a
+    leading [unroll] axis and runs them in one device call via lax.scan
+    (amortizes host dispatch latency); it returns the last step's metrics
+    and prediction.
+    """
     t = cfg.training
     w = dict(per=t.w_per, adv=t.w_adv, fm=t.w_fm, cos=t.w_cos,
              pairwise=t.w_pairwise, identity=t.w_identity)
@@ -225,4 +234,19 @@ def make_train_step(
         return new_g_state, new_d_state, metrics, xhat
 
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    if unroll <= 1:
+        return jax.jit(step, donate_argnums=donate_argnums)
+
+    def multi_step(g_state, d_state, batches):
+        def body(carry, batch):
+            g, d = carry
+            g, d, metrics, xhat = step(g, d, batch)
+            return (g, d), metrics
+
+        (g_state, d_state), metrics = jax.lax.scan(
+            body, (g_state, d_state), batches
+        )
+        last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return g_state, d_state, last_metrics, None
+
+    return jax.jit(multi_step, donate_argnums=donate_argnums)

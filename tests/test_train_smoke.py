@@ -72,3 +72,22 @@ def test_multichip_dryrun_8_devices():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_unrolled_train_step():
+    """unroll>1: stacked batches run via lax.scan in one call."""
+    from megaportraits_tpu.train.train_base import init_states, make_train_step
+
+    cfg = _cfg()
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=FP32_POLICY, image_size=SIZE
+    )
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False,
+                           unroll=2)
+    single = _batch()
+    stacked = {k: np.stack([v, v]) for k, v in single.items()}
+    g2, d2, metrics, xhat = step(g_state, d_state, stacked)
+    assert xhat is None
+    assert np.isfinite(float(metrics["loss_G"]))
+    assert int(g2.step) == 2
