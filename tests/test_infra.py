@@ -100,3 +100,31 @@ def test_prefetch_to_device_preserves_order():
     for i, item in enumerate(out):
         np.testing.assert_array_equal(np.asarray(item["a"]),
                                       np.full((2,), i, np.float32))
+
+
+def test_fsdp_param_sharding_on_fake_mesh():
+    from megaportraits_tpu.parallel.mesh import make_mesh
+    from megaportraits_tpu.parallel.sharding_rules import (
+        fsdp_param_specs, shard_params,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    params = {
+        "big_kernel": jnp.ones((3, 3, 256, 512)),   # shard feature axis
+        "odd_kernel": jnp.ones((3, 3, 7, 13)),       # small -> replicate
+        "bias": jnp.ones((512,)),                    # small -> replicate
+        "dense": jnp.ones((2048, 512)),              # shard last axis
+    }
+    specs = fsdp_param_specs(params, mesh)
+    assert specs["big_kernel"] == P(None, None, None, "model")
+    assert specs["dense"] == P(None, "model")
+    assert specs["bias"] == P()
+    assert specs["odd_kernel"] == P()
+
+    sharded = shard_params(params, mesh)
+    # A sharded matmul executes correctly on the mesh.
+    y = jax.jit(lambda p, x: x @ p["dense"])(
+        sharded, jnp.ones((4, 2048))
+    )
+    np.testing.assert_allclose(np.asarray(y), 2048.0)
