@@ -61,16 +61,23 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
 
 
 def _contract_axis(x: jnp.ndarray, m: np.ndarray, axis: int) -> jnp.ndarray:
-    """Apply [out,in] matrix along `axis` of x via tensordot (MXU matmul)."""
-    mat = jnp.asarray(m)
+    """Apply [out,in] matrix along `axis` of x via tensordot (MXU matmul).
+
+    bf16 inputs keep bf16 storage between axes (halves HBM traffic — the
+    G2d upsample chain is bandwidth-bound) with f32 accumulation inside the
+    matmul; f32 inputs keep the exact float32/HIGHEST parity path.
+    """
+    lowp = x.dtype == jnp.bfloat16
+    mat = jnp.asarray(m, dtype=x.dtype if lowp else jnp.float32)
     moved = jnp.moveaxis(x, axis, -1)
     out = jnp.einsum(
         "...i,oi->...o",
         moved,
         mat,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        precision=(jax.lax.Precision.DEFAULT if lowp
+                   else jax.lax.Precision.HIGHEST),
+    ).astype(x.dtype)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -84,10 +91,11 @@ def linear_resize(
 
     Equivalent of torch ``F.interpolate(x, size=..., mode='bilinear'|
     'trilinear', align_corners=...)`` over the given spatial `axes`.
-    Output dtype matches input dtype; interpolation runs in float32.
+    Output dtype matches input dtype; float32 inputs interpolate exactly in
+    float32 (torch parity), bfloat16 inputs stay bfloat16 end-to-end.
     """
     orig_dtype = x.dtype
-    out = x.astype(jnp.float32)
+    out = x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
     for size, axis in zip(out_sizes, axes):
         in_size = out.shape[axis]
         if in_size == size:
