@@ -127,7 +127,8 @@ class PerceptualLoss(nn.Module):
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, predicted: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, predicted: jnp.ndarray, target: jnp.ndarray,
+                 use_fm_loss: bool = False) -> jnp.ndarray:
         w = self.weights or {"vgg19": 20.0, "vggface": 5.0, "gaze": 4.0,
                              "lpips": 10.0}
         p = self.policy
@@ -137,7 +138,7 @@ class PerceptualLoss(nn.Module):
         tgt_n = ((target.astype(jnp.float32) - mean) / std)
 
         total = jnp.float32(0.0)
-        if w.get("vgg19", 0.0):
+        if w.get("vgg19", 0.0) or use_fm_loss:
             net = VGG(cfg="vgg19", taps=VGG19_REFERENCE_TAPS, policy=p,
                       name="vgg19")
             fp = net(p.cast_to_compute(pred_n))
@@ -146,7 +147,19 @@ class PerceptualLoss(nn.Module):
                 jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
                 for a, b in zip(fp, ft)
             )
-            total = total + w["vgg19"] * vgg_loss
+            total = total + w.get("vgg19", 0.0) * vgg_loss
+            if use_fm_loss:
+                # Reference feature-matching variant: same taps, target
+                # features detached (model.py:1987-1988, 2012-2013).
+                import jax
+
+                total = total + sum(
+                    jnp.mean(jnp.abs(
+                        a.astype(jnp.float32)
+                        - jax.lax.stop_gradient(b.astype(jnp.float32))
+                    ))
+                    for a, b in zip(fp, ft)
+                )
         if w.get("vggface", 0.0) and self.use_vggface:
             from megaportraits_tpu.losses.vggface import InceptionResnetV1
 
