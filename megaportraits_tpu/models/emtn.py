@@ -34,6 +34,12 @@ class Emtn(nn.Module):
     # estimator its training resolution is both more faithful to the
     # estimator and ~5x cheaper at 512 inputs. Set to 0 to disable.
     rotation_input_size: int = 224
+    # Translation/expression heads are global-pooled ResNet18s — their
+    # parameters are input-size agnostic, and pose/translation/expression
+    # are global image properties. 256px input quarters their cost at 512
+    # training/serving resolution (the reference's own debug traces exercise
+    # the descriptor path at 256, model.py:247). Set to 0 to feed full res.
+    descriptor_input_size: int = 256
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -42,13 +48,17 @@ class Emtn(nn.Module):
         p = self.policy
         x = p.cast_to_compute(x)
 
+        def maybe_resize(img, s):
+            if s and (img.shape[1] > s or img.shape[2] > s):
+                return linear_resize(img, (s, s), axes=(1, 2),
+                                     align_corners=False)
+            return img
+
         # Frozen head-pose rotation (SixDRepNet, deploy-mode RepVGG-B1g2).
-        rot_in = x
-        s = self.rotation_input_size
-        if s and (x.shape[1] > s or x.shape[2] > s):
-            rot_in = linear_resize(x, (s, s), axes=(1, 2), align_corners=False)
+        rot_in = maybe_resize(x, self.rotation_input_size)
         _, euler_deg = SixDRepNet(policy=p, name="rotation_net")(rot_in, False)
         rotation = jax.lax.stop_gradient(euler_deg)
+        x = maybe_resize(x, self.descriptor_input_size)
 
         # Translation from the resnet18 'head pose' net (fc -> 6, keep [3:]).
         head_pose = ResNet18(num_classes=6, policy=p, name="head_pose_net")(
