@@ -58,3 +58,34 @@ def test_resblock2d_fused_path_matches_plain():
     out_p = plain.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_fused_resblock_chain_matches_xla_chain():
+    """Whole-chain kernel (experimental) parity at small shapes, interpret."""
+    from megaportraits_tpu.ops.pallas.g2d_chain import fused_resblock_chain
+
+    h = x_size = 16
+    c, n = 128, 3
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (h, x_size, c), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (n, 2, 3, 3, c, c),
+                          jnp.float32) * 0.05
+    scales = jax.random.uniform(jax.random.PRNGKey(2), (n, 2, c),
+                                jnp.float32, 0.8, 1.2)
+    shifts = jax.random.normal(jax.random.PRNGKey(3), (n, 2, c)) * 0.05
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_resblock_chain(x, w, scales, shifts)
+
+    hcur = x
+    for b in range(n):
+        c1 = jax.lax.conv_general_dilated(
+            hcur[None], w[b, 0], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        m = jnp.maximum(c1 * scales[b, 0] + shifts[b, 0], 0.0)
+        c2 = jax.lax.conv_general_dilated(
+            m[None], w[b, 1], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        hcur = jnp.maximum(c2 * scales[b, 1] + shifts[b, 1] + hcur, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(hcur),
+                               atol=2e-3, rtol=2e-3)
