@@ -125,3 +125,16 @@ def test_discriminator_patch_shape():
     out = model.apply(vars_, a, b)
     # (1, H/16, W/16) patch map, channels-last.
     assert out.shape == (1, RES // 16, RES // 16, 1)
+
+
+def test_streaming_drive_matches_full_forward():
+    """encode_source + drive must reproduce the full Gbase forward exactly
+    (the streaming serving path, infer/streaming.py)."""
+    model = Gbase(policy=FP32_POLICY)
+    xs, xd = _img(), _img(res=RES)
+    vars_ = model.init(KEY, xs, xs)
+    full, _ = model.apply(vars_, xs, xd)
+    state = model.apply(vars_, xs, method=Gbase.encode_source)
+    streamed = model.apply(vars_, state, xd, method=Gbase.drive)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                               atol=1e-5)
