@@ -59,6 +59,10 @@ class TrainingConfig:
     lambda_supervised: float = 1.0
     lambda_unsupervised: float = 1.0
     # TPU-native additions (no reference counterpart).
+    # Orbax bundle from scripts/convert_weights.py; loaded when the
+    # directory exists (frozen loss backbones + SixDRepNet + resnet18
+    # trunks — the reference's runtime downloads, model.py:1935-1947).
+    pretrained_path: str = "./pretrained"
     seed: int = 0
     use_bf16: bool = True
     unroll_steps: int = 1  # train steps per device call (lax.scan)
@@ -68,11 +72,43 @@ class TrainingConfig:
 
 
 @dataclasses.dataclass
+class ModelConfig:
+    """TPU-native model knobs (no reference counterpart).
+
+    The serving defaults (224px rotation input, 256px descriptor input,
+    bf16) change activations vs the reference. For any parity measurement
+    (LPIPS-within-1% north star) use the PARITY preset:
+    configs/inference/parity.yaml — full-res Emtn inputs, fp32 compute,
+    reference warp renormalization, reference [-1,1] input transform.
+    """
+
+    # Emtn input resolutions; 0 = feed full resolution (parity mode).
+    rotation_input_size: int = 224
+    descriptor_input_size: int = 256
+    # 'reference' replicates the reference warp renormalization quirk
+    # (model.py:1056-1058); 'standard' is textbook grid+flow.
+    warp_normalize_mode: str = "reference"
+    use_bf16: bool = True
+
+    def parity(self) -> "ModelConfig":
+        return dataclasses.replace(
+            self, rotation_input_size=0, descriptor_input_size=0,
+            warp_normalize_mode="reference", use_bf16=False,
+        )
+
+
+@dataclasses.dataclass
 class InferenceConfig:
     checkpoint_path: str = ""
     source_image: str = ""
     driving_image: str = ""
     output_image: str = "output_base.jpg"
+    # Framework contract: images are [0,1] END-TO-END (training feeds [0,1],
+    # Gbase ends in sigmoid). The reference's inference.py normalizes inputs
+    # to [-1,1] while its trainer never does (reference defect, train.py:391
+    # vs inference.py:17-20) — set this flag only to reproduce that behavior
+    # byte-for-byte against a converted reference checkpoint.
+    reference_normalize: bool = False
 
 
 @dataclasses.dataclass
@@ -80,6 +116,25 @@ class Config:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
     inference: InferenceConfig = dataclasses.field(default_factory=InferenceConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+
+    def make_gbase(self, policy=None, remat: bool = False):
+        """Construct Gbase from the model section (single source of truth
+        for the parity-affecting knobs)."""
+        from megaportraits_tpu.core.dtypes import (
+            DEFAULT_POLICY, FP32_POLICY,
+        )
+        from megaportraits_tpu.models.gbase import Gbase
+
+        if policy is None:
+            policy = DEFAULT_POLICY if self.model.use_bf16 else FP32_POLICY
+        return Gbase(
+            policy=policy,
+            warp_normalize_mode=self.model.warp_normalize_mode,
+            rotation_input_size=self.model.rotation_input_size,
+            descriptor_input_size=self.model.descriptor_input_size,
+            remat=remat,
+        )
 
 
 def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
@@ -102,4 +157,6 @@ def load_config(path: str) -> Config:
         cfg.inference = InferenceConfig(
             **_filter_fields(InferenceConfig, raw["inference"])
         )
+    if "model" in raw and raw["model"]:
+        cfg.model = ModelConfig(**_filter_fields(ModelConfig, raw["model"]))
     return cfg

@@ -307,7 +307,21 @@ class EMODataset:
         transform=None,  # reference-schema compat
         img_scale: Tuple[float, float] = (1.0, 1.0),
         seed: int = 0,
+        driving_mode: str = "cross_frame",
+        n_driving_videos: int = 2,
     ):
+        """driving_mode selects where driving frames come from:
+
+        * ``"cross_frame"`` (default): driving frames are OTHER frames of the
+          same video — the training sampler (frame_batches) guarantees the
+          driving index differs from the source index, so the objective is
+          real cross-frame motion transfer. The TPS warp stays as a pure
+          augmentation of the driving crop.
+        * ``"separate_video"``: reference-parity behavior — a shared set of
+          driving videos is picked randomly at init (EmoDataset.py:50-61) and
+          __getitem__ returns their frames as driving_frames
+          (EmoDataset.py:325-330).
+        """
         self.width = width
         self.height = height
         self.n_sample_frames = n_sample_frames
@@ -321,6 +335,10 @@ class EMODataset:
         self.warp_strength = warp_strength
         self.rng = np.random.default_rng(seed)
 
+        if driving_mode not in ("cross_frame", "separate_video"):
+            raise ValueError(f"unknown driving_mode {driving_mode!r}")
+        self.driving_mode = driving_mode
+
         with open(json_file) as f:
             meta = json.load(f)
         self.video_ids: List[str] = list(meta.get("clips", {}).keys())
@@ -332,6 +350,13 @@ class EMODataset:
                 if f.endswith(".mp4")
             )
         self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+        # Reference parity: shared driving videos picked randomly at init
+        # (EmoDataset.py:50-61); every item returns frames from these.
+        self.driving_video_ids: List[str] = []
+        if driving_mode == "separate_video":
+            k = min(n_driving_videos, len(self.video_ids))
+            picks = self.rng.choice(len(self.video_ids), size=k, replace=False)
+            self.driving_video_ids = [self.video_ids[int(p)] for p in picks]
 
     def __len__(self) -> int:
         return len(self.video_ids)
@@ -412,20 +437,34 @@ class EMODataset:
         video_id_star = self.video_ids[(index + 1) % len(self.video_ids)]
         main = self.load_and_process_video(video_id)
         star = self.load_and_process_video(video_id_star)
+        drv = main["driving_frames"]
+        drv_star = star["driving_frames"]
+        if self.driving_mode == "separate_video" and self.driving_video_ids:
+            # Shared driving clip(s) as in the reference (EmoDataset.py:325-330).
+            shared = self.load_and_process_video(
+                self.driving_video_ids[index % len(self.driving_video_ids)]
+            )
+            drv = drv_star = shared["driving_frames"]
         return {
             "video_id": video_id,
             "source_frames": main["source_frames"],
-            "driving_frames": main["driving_frames"],
+            "driving_frames": drv,
             "video_id_star": video_id_star,
             "source_frames_star": star["source_frames"],
-            "driving_frames_star": star["driving_frames"],
+            "driving_frames_star": drv_star,
         }
 
     def frame_batches(
         self, batch_size: int, frame_offset: int = 20, seed: int = 0
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield batched training dicts — the device-batched replacement for
-        the reference's per-frame Python loop (train.py:179)."""
+        the reference's per-frame Python loop (train.py:179).
+
+        In cross_frame mode the driving index is guaranteed to DIFFER from
+        the source index, so each pair carries real cross-frame motion (the
+        degenerate 'undo a 0.01-strength warp of the input' objective of a
+        same-index pairing cannot occur).
+        """
         rng = np.random.default_rng(seed)
         n = len(self)
         while True:
@@ -436,9 +475,14 @@ class EMODataset:
                 d = item["driving_frames"]
                 ss = item["source_frames_star"]
                 ds = item["driving_frames_star"]
-                i = int(rng.integers(len(d)))
+                i = int(rng.integers(len(s)))
+                if self.driving_mode == "cross_frame" and len(d) > 1:
+                    # uniform over indices != i
+                    k = int((i + 1 + rng.integers(len(d) - 1)) % len(d))
+                else:
+                    k = int(rng.integers(len(d)))
                 src.append(s[i % len(s)])
-                drv.append(d[i % len(d)])
+                drv.append(d[k])
                 src_next.append(s[(i + frame_offset) % len(s)])
                 j = int(rng.integers(len(ds)))
                 src_star.append(ss[j % len(ss)])

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from megaportraits_tpu.core.checkpoint import CheckpointManager
 from megaportraits_tpu.core.config import load_config
-from megaportraits_tpu.core.dtypes import DEFAULT_POLICY
 from megaportraits_tpu.infer.inference import load_image
 from megaportraits_tpu.infer.streaming import ReenactmentSession
 from megaportraits_tpu.models.gbase import Gbase
@@ -31,12 +30,21 @@ def reenact_video(
     size: int = 512,
     fps: Optional[float] = None,
     max_frames: Optional[int] = None,
+    reference_normalize: bool = False,
+    model: Optional[Gbase] = None,
 ) -> int:
-    """Returns the number of frames written."""
+    """Returns the number of frames written.
+
+    Inputs stay [0,1] end-to-end (framework contract); set
+    reference_normalize for converted reference checkpoints, which expect
+    the reference's [-1,1] transform (reference inference.py:17-20).
+    """
     import cv2
 
-    session = ReenactmentSession(variables)
-    session.set_source(load_image(source_image_path, (size, size)))
+    session = ReenactmentSession(variables, model=model)
+    session.set_source(
+        load_image(source_image_path, (size, size), reference_normalize)
+    )
 
     cap = cv2.VideoCapture(driving_video_path)
     src_fps = fps or cap.get(cv2.CAP_PROP_FPS) or 25.0
@@ -51,7 +59,8 @@ def reenact_video(
             break
         rgb = cv2.cvtColor(cv2.resize(frame, (size, size)), cv2.COLOR_BGR2RGB)
         xd = jnp.asarray(rgb.astype(np.float32) / 255.0)[None]
-        xd = (xd - 0.5) / 0.5  # reference inference normalization
+        if reference_normalize:
+            xd = (xd - 0.5) / 0.5  # reference [-1,1] compat
         xhat = session(xd)  # [1, H, W, 3] in [0, 1]
         out = (np.asarray(xhat[0], dtype=np.float32) * 255).clip(0, 255)
         writer.write(cv2.cvtColor(out.astype(np.uint8), cv2.COLOR_RGB2BGR))
@@ -72,7 +81,7 @@ def main():
     args = parser.parse_args()
 
     cfg = load_config(args.config)
-    model = Gbase(policy=DEFAULT_POLICY)
+    model = cfg.make_gbase()
     dummy = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy, dummy)
     mgr = CheckpointManager(cfg.inference.checkpoint_path)
@@ -80,7 +89,9 @@ def main():
     if restored is not None:
         variables = restored["g_variables"]
     n = reenact_video(args.source, args.driving, args.output, variables,
-                      size=args.size, max_frames=args.max_frames)
+                      size=args.size, max_frames=args.max_frames,
+                      reference_normalize=cfg.inference.reference_normalize,
+                      model=model)
     print(f"wrote {n} frames to {args.output}")
 
 

@@ -180,7 +180,9 @@ class InceptionResnetV1(nn.Module):
         x = Mixed7a(policy=p, name="mixed_7a")(x)
         for i in range(5):
             x = Block8(policy=p, name=f"repeat_3_{i}")(x)
-        x = Block8(no_relu=True, policy=p, name="block8")(x)
+        # facenet's final Block8 is Block8(noReLU=True) with DEFAULT
+        # scale=1.0 (only the repeat_3 blocks use scale=0.2).
+        x = Block8(scale=1.0, no_relu=True, policy=p, name="block8")(x)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool 1x1
         x = TorchDense(512, use_bias=False, policy=p, name="last_linear")(x)
         # last_bn (1d), frozen inference form.

@@ -46,6 +46,12 @@ class Gbase(nn.Module):
     # fit the fused multi-forward training graph at 512^2 in HBM
     # (jax.checkpoint; trades ~30% extra forward FLOPs for activations).
     remat: bool = False
+    # Emtn input resolutions (serving levers; 0 = full res). PARITY NOTE:
+    # the defaults change activations vs the reference — use
+    # ModelConfig.parity() / configs/inference/parity.yaml (full res, fp32)
+    # for any reference-checkpoint parity measurement.
+    rotation_input_size: int = 224
+    descriptor_input_size: int = 256
 
     def setup(self):
         if self.remat:
@@ -58,7 +64,11 @@ class Gbase(nn.Module):
             eapp_cls, emtn_cls = Eapp, Emtn
             g3d_cls, g2d_cls, warp_cls = G3d, G2d, WarpGenerator
         self.appearance_encoder = eapp_cls(policy=self.policy)
-        self.motion_encoder = emtn_cls(policy=self.policy)
+        self.motion_encoder = emtn_cls(
+            policy=self.policy,
+            rotation_input_size=self.rotation_input_size,
+            descriptor_input_size=self.descriptor_input_size,
+        )
         self.warp_generator_s2c = warp_cls(invert=True, policy=self.policy)
         self.warp_generator_c2d = warp_cls(invert=False, policy=self.policy)
         self.g3d = g3d_cls(policy=self.policy)

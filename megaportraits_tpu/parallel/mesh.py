@@ -21,17 +21,53 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def fit_mesh_shape(shape: Dict[str, int], n_devices: int) -> Dict[str, int]:
+    """Adapt a requested mesh shape to the devices actually available.
+
+    Keeps the non-data axes if their product divides ``n_devices`` (the data
+    axis absorbs the rest); otherwise shrinks non-data axes toward 1 until a
+    factorization fits. Degenerates to ``{data: n_devices}`` as a last resort,
+    so a shape written for an 8-chip slice still builds a valid mesh on 1
+    axon chip or a 4-device CPU host.
+    """
+    shape = dict(shape) if shape else {DATA_AXIS: n_devices}
+    if DATA_AXIS not in shape:
+        shape = {DATA_AXIS: 1, **shape}
+    other = {k: v for k, v in shape.items() if k != DATA_AXIS}
+    # Shrink non-data axes (largest first) until their product divides n.
+    while other:
+        prod = int(np.prod(list(other.values())))
+        if prod <= n_devices and n_devices % prod == 0:
+            return {DATA_AXIS: n_devices // prod, **other}
+        k = max(other, key=other.get)
+        if other[k] > 1:
+            other[k] //= 2
+        else:
+            other.pop(k)
+    return {DATA_AXIS: n_devices}
+
+
 def make_mesh(shape: Optional[Dict[str, int]] = None,
-              devices=None) -> Mesh:
-    """Build a Mesh; defaults to all devices on a single 'data' axis."""
+              devices=None, strict: bool = False) -> Mesh:
+    """Build a Mesh; defaults to all devices on a single 'data' axis.
+
+    Unless ``strict``, the requested shape is adapted via :func:`fit_mesh_shape`
+    to whatever device count this process actually sees — production configs
+    written for a pod slice must still bring up a valid (smaller) mesh on a
+    single chip or a virtual CPU mesh.
+    """
     devices = devices if devices is not None else jax.devices()
     if not shape:
         shape = {DATA_AXIS: len(devices)}
+    if strict:
+        dims = tuple(shape.values())
+        assert int(np.prod(dims)) == len(devices), (
+            f"mesh shape {shape} does not match {len(devices)} devices"
+        )
+    else:
+        shape = fit_mesh_shape(shape, len(devices))
     axis_names = tuple(shape.keys())
     dims = tuple(shape.values())
-    assert int(np.prod(dims)) == len(devices), (
-        f"mesh shape {shape} does not match {len(devices)} devices"
-    )
     dev_array = np.asarray(devices).reshape(dims)
     return Mesh(dev_array, axis_names)
 

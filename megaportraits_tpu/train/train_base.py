@@ -60,7 +60,7 @@ def init_states(
     size = image_size or cfg.data.train_width
     # remat the heavy submodules: without it the fused multi-forward
     # training graph does not fit HBM at 512^2.
-    gbase = Gbase(policy=policy, remat=size >= 256)
+    gbase = cfg.make_gbase(policy=policy, remat=size >= 256)
     disc = Discriminator(policy=policy)
     ploss = PerceptualLoss(
         weights={"vgg19": 20.0, "vggface": 4.0, "gaze": 5.0, "lpips": 10.0},
@@ -71,6 +71,16 @@ def init_states(
     g_vars = gbase.init(k_g, dummy, dummy)
     d_vars = disc.init(k_d, dummy, dummy)
     p_vars = ploss.init(k_p, dummy, dummy)
+
+    # Converted pretrained weights (frozen loss backbones + SixDRepNet +
+    # resnet18 trunks) — loaded when a bundle exists at pretrained_path.
+    from megaportraits_tpu.utils.pretrained import maybe_load_pretrained
+
+    g_vars, p_vars, msg = maybe_load_pretrained(
+        cfg.training.pretrained_path, g_vars, p_vars
+    )
+    if "leaves" in msg:
+        print(msg)
 
     steps_per_epoch = cfg.training.steps_per_epoch or 1
     total_steps = cfg.training.base_epochs * steps_per_epoch

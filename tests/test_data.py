@@ -72,6 +72,42 @@ def test_frame_batches_schema(video_dir):
         assert batch[key].shape == (3, 64, 64, 3), key
 
 
+def test_frame_batches_cross_frame_indices_differ(video_dir):
+    """Cross-frame driving: the driving index must DIFFER from the source
+    index — the training target is cross-frame motion transfer, never
+    'undo a tiny warp of the input' (VERDICT r1 missing #3)."""
+    ds = _make(video_dir)
+    assert ds.driving_mode == "cross_frame"
+    # Tag each frame with a unique constant so indices are recoverable.
+    n = 6
+    for vid in ds.video_ids:
+        frames = np.zeros((n, 64, 64, 3), np.float32)
+        for i in range(n):
+            frames[i] = i / float(n)
+        ds._cache[vid] = {"source_frames": frames, "driving_frames": frames}
+    it = ds.frame_batches(batch_size=4, frame_offset=1, seed=3)
+    for _ in range(8):
+        batch = next(it)
+        src_idx = np.round(batch["source"][:, 0, 0, 0] * n).astype(int)
+        drv_idx = np.round(batch["driving"][:, 0, 0, 0] * n).astype(int)
+        assert np.all(src_idx != drv_idx), (src_idx, drv_idx)
+
+
+def test_separate_video_driving_mode(video_dir):
+    """Reference-parity mode: driving frames come from a shared driving
+    video picked at init (EmoDataset.py:50-61, 325-330)."""
+    ds = _make(video_dir, driving_mode="separate_video", n_driving_videos=1)
+    assert len(ds.driving_video_ids) == 1
+    shared = ds.load_and_process_video(ds.driving_video_ids[0])
+    item0, item1 = ds[0], ds[1]
+    np.testing.assert_array_equal(
+        item0["driving_frames"], shared["driving_frames"]
+    )
+    np.testing.assert_array_equal(
+        item1["driving_frames"], shared["driving_frames"]
+    )
+
+
 def test_tps_warp_is_small_perturbation():
     rng = np.random.default_rng(0)
     img = rng.random((64, 64, 3)).astype(np.float32)
