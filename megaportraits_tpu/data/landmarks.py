@@ -1,0 +1,181 @@
+"""Facial-landmark providers — the pluggable host-side landmark interface.
+
+The reference binds three CPU landmark stacks: dlib 68-point for AKD/AED
+(reference metrics.py:13-34), MediaPipe FaceMesh for gaze losses
+(model.py:1756-1880), face_recognition for crops (EmoDataset.py:106-131).
+None exist in this environment; the framework's interface is a provider
+registry with two real implementations:
+
+  * FANLandmarkProvider — our own 2DFAN-4 network (models/fan.py) run
+    jitted on device; load converted face_alignment weights from the
+    pretrained bundle (key 'fan', scripts/convert_weights.py).
+  * BoxLandmarkProvider — detection-box proxy (cv2 YuNet or skin-tone
+    blob): 5 pseudo-points, clearly marked `is_proxy`.
+
+`set_landmark_provider` installs the active provider; eval/metrics and the
+gaze-loss helpers consume whatever is installed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+# 68-point iBUG indexing.
+RIGHT_EYE = tuple(range(36, 42))
+LEFT_EYE = tuple(range(42, 48))
+FAN_INPUT_SIZE = 256
+
+
+class BoxLandmarkProvider:
+    """Face-box corner proxy (5 points). is_proxy=True: AKD/AED computed
+    from this are NOT comparable to dlib-68 numbers."""
+
+    is_proxy = True
+    num_points = 5
+
+    def detect(self, image: np.ndarray) -> Optional[np.ndarray]:
+        from megaportraits_tpu.data.dataset import detect_face
+
+        box = detect_face(image)
+        if box is None:
+            return None
+        x, y, w, h = box
+        return np.array(
+            [[x, y], [x + w, y], [x, y + h], [x + w, y + h],
+             [x + w / 2, y + h / 2]],
+            dtype=np.float64,
+        )
+
+
+class FANLandmarkProvider:
+    """68-point landmarks from the jitted FAN network.
+
+    variables: FAN params ({'params': ...}); random-init unless converted
+    weights are supplied (pretrained bundle key 'fan'). `crop_to_face`
+    first localizes a face box (detect_face) and runs FAN on that crop,
+    mirroring face_alignment's detector+FAN pipeline.
+    """
+
+    is_proxy = False
+    num_points = 68
+
+    def __init__(self, variables=None, num_modules: int = 4,
+                 crop_to_face: bool = True, trained: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from megaportraits_tpu.core.dtypes import FP32_POLICY
+        from megaportraits_tpu.models.fan import (
+            FAN, heatmaps_to_landmarks, HEATMAP_SIZE,
+        )
+
+        self._jnp = jnp
+        self.model = FAN(num_modules=num_modules, policy=FP32_POLICY)
+        if variables is None:
+            trained = False
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, FAN_INPUT_SIZE, FAN_INPUT_SIZE, 3),
+                              jnp.float32)
+            variables = jax.jit(self.model.init)(rng, dummy)
+        self.variables = variables
+        self.trained = trained
+        self.crop_to_face = crop_to_face
+        self._hm_size = HEATMAP_SIZE
+
+        @jax.jit
+        def _run(variables, x):
+            hm = self.model.apply(variables, x)
+            return heatmaps_to_landmarks(hm)
+
+        self._run = _run
+
+    def detect(self, image: np.ndarray) -> Optional[np.ndarray]:
+        import cv2
+
+        h, w = image.shape[:2]
+        x0 = y0 = 0
+        crop = image
+        if self.crop_to_face:
+            from megaportraits_tpu.data.dataset import detect_face
+
+            box = detect_face(image)
+            if box is not None:
+                bx, by, bw, bh = box
+                pad_x, pad_y = int(0.25 * bw), int(0.25 * bh)
+                x0, y0 = max(0, bx - pad_x), max(0, by - pad_y)
+                x1 = min(w, bx + bw + pad_x)
+                y1 = min(h, by + bh + pad_y)
+                crop = image[y0:y1, x0:x1]
+        ch, cw = crop.shape[:2]
+        inp = cv2.resize(
+            crop.astype(np.float32), (FAN_INPUT_SIZE, FAN_INPUT_SIZE),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        lm = np.array(self._run(self.variables, inp[None]))[0]  # [68,2]
+        scale = self._hm_size
+        lm[:, 0] = lm[:, 0] / scale * cw + x0
+        lm[:, 1] = lm[:, 1] / scale * ch + y0
+        return lm.astype(np.float64)
+
+
+_PROVIDER: Optional[object] = None
+
+
+def set_landmark_provider(provider) -> None:
+    global _PROVIDER
+    _PROVIDER = provider
+
+
+def get_landmark_provider():
+    """Active provider; defaults to the box proxy."""
+    global _PROVIDER
+    if _PROVIDER is None:
+        _PROVIDER = BoxLandmarkProvider()
+    return _PROVIDER
+
+
+def provider_from_bundle(bundle_path: str):
+    """Install a FANLandmarkProvider when the pretrained bundle has
+    converted FAN weights; returns the installed provider or None."""
+    from megaportraits_tpu.utils.pretrained import load_bundle
+
+    bundle = load_bundle(bundle_path)
+    if not bundle or "fan" not in bundle:
+        return None
+    provider = FANLandmarkProvider(
+        variables={"params": bundle["fan"]}, trained=True
+    )
+    set_landmark_provider(provider)
+    return provider
+
+
+def eye_crops_from_landmarks(
+    image: np.ndarray, landmarks: np.ndarray,
+    out_size: int = 32, pad: float = 0.6,
+):
+    """Cut left/right eye crops + [136] keypoint vector for GazeBlinkLoss
+    (reference model.py:1791-1804 uses per-eye crops + 68x2 keypoints)."""
+    import cv2
+
+    h, w = image.shape[:2]
+
+    def crop(idx):
+        pts = landmarks[list(idx)]
+        cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+        half = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1])) * (0.5 + pad)
+        half = max(half, 4.0)
+        x0, x1 = int(max(0, cx - half)), int(min(w, cx + half))
+        y0, y1 = int(max(0, cy - half)), int(min(h, cy + half))
+        return cv2.resize(
+            image[y0:y1, x0:x1].astype(np.float32), (out_size, out_size)
+        )
+
+    right = crop(RIGHT_EYE)
+    left = crop(LEFT_EYE)
+    kp = landmarks.astype(np.float32)
+    if kp.shape[0] < 68:  # proxy providers: tile to 68 for the MLP input
+        reps = int(np.ceil(68 / kp.shape[0]))
+        kp = np.tile(kp, (reps, 1))[:68]
+    return left, right, kp.reshape(-1)

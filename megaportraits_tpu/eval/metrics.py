@@ -65,30 +65,43 @@ def calculate_ssim(pred: np.ndarray, target: np.ndarray,
 
 
 def extract_keypoints(image: np.ndarray) -> Optional[np.ndarray]:
-    """Face keypoint proxy: Haar face box corners + center (dlib absent)."""
-    from megaportraits_tpu.data.dataset import detect_face
+    """Facial keypoints from the installed landmark provider
+    (data/landmarks.py): 68 FAN points when a FANLandmarkProvider is set
+    (matching the reference's dlib-68, metrics.py:13-26), else the 5-point
+    face-box proxy."""
+    from megaportraits_tpu.data.landmarks import get_landmark_provider
 
-    box = detect_face(image)
-    if box is None:
-        return None
-    x, y, w, h = box
-    return np.array(
-        [[x, y], [x + w, y], [x, y + h], [x + w, y + h],
-         [x + w / 2, y + h / 2]],
-        dtype=np.float64,
-    )
+    return get_landmark_provider().detect(image)
 
 
 def calculate_akd(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
-    """Average keypoint distance."""
+    """Average keypoint distance: mean L2 over matched landmarks —
+    the reference's landmark-distance formula (metrics.py:28-34; its own
+    `calculate_akd` was referenced but never defined, metrics.py:84)."""
     kp, kt = extract_keypoints(pred), extract_keypoints(target)
-    if kp is None or kt is None:
+    if kp is None or kt is None or kp.shape != kt.shape:
         return None
     return float(np.mean(np.linalg.norm(kp - kt, axis=1)))
 
 
-def calculate_aed(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
-    """Average euclidean distance over detected keypoints (metrics.py:28-34)."""
+def calculate_aed(
+    pred: np.ndarray, target: np.ndarray, embedding_apply=None
+) -> Optional[float]:
+    """Average Euclidean distance.
+
+    With `embedding_apply` ([1,H,W,3] in [0,1] -> [1,D] identity embedding,
+    e.g. the InceptionResnetV1 port), AED is the identity-embedding L2 —
+    the FOMM-convention metric, distinct from AKD. Without it, falls back
+    to the landmark formula, which is what the reference's own AED computes
+    (metrics.py:28-34)."""
+    if embedding_apply is not None:
+        import jax.numpy as jnp
+
+        ep = np.asarray(embedding_apply(jnp.asarray(pred, jnp.float32)[None]))
+        et = np.asarray(
+            embedding_apply(jnp.asarray(target, jnp.float32)[None])
+        )
+        return float(np.linalg.norm(ep[0] - et[0]))
     return calculate_akd(pred, target)
 
 
@@ -132,9 +145,14 @@ def load_image(path: str) -> np.ndarray:
 
 
 def evaluate_metrics(
-    output_dir: str, target_dir: str, lpips_apply=None
+    output_dir: str, target_dir: str, lpips_apply=None, embedding_apply=None
 ) -> Dict[str, Optional[float]]:
-    """Directory-level evaluation, mirroring reference metrics.py:61-102."""
+    """Directory-level evaluation, mirroring reference metrics.py:61-102.
+
+    AKD uses the installed landmark provider (68-point FAN when available);
+    AED uses `embedding_apply` identity embeddings when given, else the
+    reference's landmark formula. Skips pairs with no detected face, like
+    the reference (metrics.py:31-34)."""
     scores: Dict[str, list] = {k: [] for k in
                                ("L1", "LPIPS", "PSNR", "SSIM", "AKD", "AED")}
     for filename in sorted(os.listdir(output_dir)):
@@ -154,7 +172,9 @@ def evaluate_metrics(
         akd = calculate_akd(pred, target)
         if akd is not None:
             scores["AKD"].append(akd)
-            scores["AED"].append(akd)
+        aed = calculate_aed(pred, target, embedding_apply)
+        if aed is not None:
+            scores["AED"].append(aed)
     return {
         k: (float(np.mean(v)) if v else None) for k, v in scores.items()
     }

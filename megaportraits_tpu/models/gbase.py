@@ -42,10 +42,14 @@ class Gbase(nn.Module):
     # (model.py:1056-1058) for checkpoint parity; 'standard' is the textbook
     # grid+flow sampling.
     warp_normalize_mode: str = "reference"
-    # Rematerialize the heavy submodules in the backward pass — required to
+    # Rematerialize heavy submodules in the backward pass — required to
     # fit the fused multi-forward training graph at 512^2 in HBM
-    # (jax.checkpoint; trades ~30% extra forward FLOPs for activations).
-    remat: bool = False
+    # (jax.checkpoint; trades extra forward FLOPs for activations).
+    # False/"none": no remat; True/"full": remat every submodule;
+    # "selective": remat only the large-activation encoders/decoders
+    # (Eapp, G2d) and keep the cheap/small modules' activations resident —
+    # measured ~same memory headroom with fewer recomputed FLOPs.
+    remat: object = False
     # Emtn input resolutions (serving levers; 0 = full res). PARITY NOTE:
     # the defaults change activations vs the reference — use
     # ModelConfig.parity() / configs/inference/parity.yaml (full res, fp32)
@@ -54,15 +58,20 @@ class Gbase(nn.Module):
     descriptor_input_size: int = 256
 
     def setup(self):
-        if self.remat:
+        mode = self.remat
+        if mode is True:
+            mode = "full"
+        elif not mode:
+            mode = "none"
+        eapp_cls, emtn_cls = Eapp, Emtn
+        g3d_cls, g2d_cls, warp_cls = G3d, G2d, WarpGenerator
+        if mode in ("full", "selective"):
             eapp_cls = nn.remat(Eapp, static_argnums=(2,))
+            g2d_cls = nn.remat(G2d, static_argnums=(2,))
+        if mode == "full":
             emtn_cls = nn.remat(Emtn, static_argnums=(2,))
             g3d_cls = nn.remat(G3d)
-            g2d_cls = nn.remat(G2d, static_argnums=(2,))
             warp_cls = nn.remat(WarpGenerator)
-        else:
-            eapp_cls, emtn_cls = Eapp, Emtn
-            g3d_cls, g2d_cls, warp_cls = G3d, G2d, WarpGenerator
         self.appearance_encoder = eapp_cls(policy=self.policy)
         self.motion_encoder = emtn_cls(
             policy=self.policy,

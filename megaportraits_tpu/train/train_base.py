@@ -56,11 +56,16 @@ def init_states(
     rng: jax.Array,
     policy: Policy = DEFAULT_POLICY,
     image_size: Optional[int] = None,
+    remat_mode: Optional[str] = None,
 ) -> Tuple[Gbase, Discriminator, PerceptualLoss, Any, TrainState, TrainState]:
     size = image_size or cfg.data.train_width
     # remat the heavy submodules: without it the fused multi-forward
-    # training graph does not fit HBM at 512^2.
-    gbase = cfg.make_gbase(policy=policy, remat=size >= 256)
+    # training graph does not fit HBM at 512^2. 'selective' (Eapp+G2d only)
+    # is the measured default at >=256: same HBM headroom, fewer recomputed
+    # FLOPs than blanket remat (benchmarks/RESULTS.md round 2).
+    if remat_mode is None:
+        remat_mode = "selective" if size >= 256 else "none"
+    gbase = cfg.make_gbase(policy=policy, remat=remat_mode)
     disc = Discriminator(policy=policy)
     ploss = PerceptualLoss(
         weights={"vgg19": 20.0, "vggface": 4.0, "gaze": 5.0, "lpips": 10.0},

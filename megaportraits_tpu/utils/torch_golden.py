@@ -222,6 +222,76 @@ def golden_sixdrepnet_6d(sd: Dict, x_nchw) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# FAN (face_alignment 2DFAN naming)
+# ---------------------------------------------------------------------------
+
+
+def golden_fan(sd: Dict, x_nchw) -> np.ndarray:
+    """Replay a face_alignment 2DFAN state_dict; returns the last stack's
+    heatmaps as NHWC numpy [B, 64, 64, 68]."""
+    import torch
+    import torch.nn.functional as F
+
+    def bn(prefix, h):
+        return _bn_f(sd, prefix, h)
+
+    def convblock(prefix, h):
+        h1 = F.conv2d(F.relu(bn(f"{prefix}.bn1", h)),
+                      _tt(sd[f"{prefix}.conv1.weight"]), None, padding=1)
+        h2 = F.conv2d(F.relu(bn(f"{prefix}.bn2", h1)),
+                      _tt(sd[f"{prefix}.conv2.weight"]), None, padding=1)
+        h3 = F.conv2d(F.relu(bn(f"{prefix}.bn3", h2)),
+                      _tt(sd[f"{prefix}.conv3.weight"]), None, padding=1)
+        out = torch.cat([h1, h2, h3], dim=1)
+        if f"{prefix}.downsample.0.weight" in sd:
+            res = F.conv2d(F.relu(bn(f"{prefix}.downsample.0", h)),
+                           _tt(sd[f"{prefix}.downsample.2.weight"]))
+        else:
+            res = h
+        return out + res
+
+    def hourglass(mod, level, inp):
+        up1 = convblock(f"{mod}.b1_{level}", inp)
+        low = F.avg_pool2d(inp, 2, 2)
+        low = convblock(f"{mod}.b2_{level}", low)
+        if level > 1:
+            low = hourglass(mod, level - 1, low)
+        else:
+            low = convblock(f"{mod}.b2_plus_{level}", low)
+        low = convblock(f"{mod}.b3_{level}", low)
+        return up1 + F.interpolate(low, scale_factor=2, mode="nearest")
+
+    x = _tt(x_nchw)
+    with torch.no_grad():
+        x = F.conv2d(x, _tt(sd["conv1.weight"]), _tt(sd["conv1.bias"]),
+                     stride=2, padding=3)
+        x = F.relu(bn("bn1", x))
+        x = convblock("conv2", x)
+        x = F.avg_pool2d(x, 2, 2)
+        x = convblock("conv3", x)
+        x = convblock("conv4", x)
+        previous = x
+        out = None
+        i = 0
+        while f"m{i}.b1_4.bn1.weight" in sd:
+            hg = hourglass(f"m{i}", 4, previous)
+            ll = convblock(f"top_m_{i}", hg)
+            ll = F.conv2d(ll, _tt(sd[f"conv_last{i}.weight"]),
+                          _tt(sd[f"conv_last{i}.bias"]))
+            ll = F.relu(bn(f"bn_end{i}", ll))
+            out = F.conv2d(ll, _tt(sd[f"l{i}.weight"]),
+                           _tt(sd[f"l{i}.bias"]))
+            if f"bl{i}.weight" in sd:
+                ll2 = F.conv2d(ll, _tt(sd[f"bl{i}.weight"]),
+                               _tt(sd[f"bl{i}.bias"]))
+                out2 = F.conv2d(out, _tt(sd[f"al{i}.weight"]),
+                                _tt(sd[f"al{i}.bias"]))
+                previous = previous + ll2 + out2
+            i += 1
+    return _to_np(out.permute(0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
 # InceptionResnetV1 (facenet_pytorch naming)
 # ---------------------------------------------------------------------------
 

@@ -22,6 +22,9 @@ Which files to drop into --weights-dir (reference contract, SURVEY.md §2.5):
   vggface      | facenet_pytorch.InceptionResnetV1(     | torch.save(m.state_dict(), 'vggface2.pth')
                |   pretrained='vggface2')               |
   sixdrepnet   | 6DRepNet_300W_LP_AFLW2000.pth          | as downloaded (mysixdrepnet.py:792)
+  fan          | face_alignment 2DFAN-4 (68 landmarks;  | as downloaded ('2DFAN4-….pth.tar');
+               |   replaces the reference's dlib/       |   enables real AKD/AED + gaze
+               |   MediaPipe landmark stack)            |   landmarks (data/landmarks.py)
   resnet18     | torchvision.models.resnet18(pretrained)| torch.save(m.state_dict(), 'resnet18.pth')
   resnet50     | torchvision.models.resnet50(pretrained)| torch.save(m.state_dict(), 'resnet50.pth')
 
@@ -52,6 +55,8 @@ def identify(sd: dict) -> str:
 
     if has("linear_reg.weight") and has("layer0.rbr_reparam.weight"):
         return "sixdrepnet"
+    if has("m0.b1_4.bn1.weight"):
+        return "fan"
     if has("lins.0.model.1.weight") or has("lin0.model.1.weight"):
         return "lpips"
     if has("conv2d_1a.conv.weight") and has("last_linear.weight"):
@@ -153,6 +158,22 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
             ref_rot = rotation_6d_to_matrix(jnp.asarray(six))
             err = float(np.abs(np.asarray(rot) - np.asarray(ref_rot)).max())
         return "sixdrepnet", params, err
+
+    if kind == "fan":
+        from megaportraits_tpu.models.fan import FAN, convert_fan
+
+        params, num_modules = convert_fan(sd)
+        err = None
+        if golden:
+            size = max(golden_size, 64)
+            xx = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
+            net = FAN(num_modules=num_modules, policy=FP32_POLICY)
+            init = net.init(key, jnp.asarray(xx))["params"]
+            merged = tc.merge_params(init, params)
+            hm = net.apply({"params": merged}, jnp.asarray(xx))
+            ref = tg.golden_fan(sd, np.transpose(xx, (0, 3, 1, 2)))
+            err = float(np.abs(np.asarray(hm) - ref).max())
+        return "fan", params, err
 
     if kind in ("resnet18", "resnet50"):
         bottleneck = kind == "resnet50"

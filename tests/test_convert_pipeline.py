@@ -126,6 +126,52 @@ def _facenet_sd() -> dict:
     return _rand_sd(inception_state_dict_spec())
 
 
+def _fan_sd(num_modules: int = 2) -> dict:
+    """face_alignment 2DFAN-style state_dict (num_modules hourglass stacks;
+    the real 2DFAN4 has 4 — 2 keeps CI cheap, the layout is identical)."""
+    spec = {}
+
+    def bn(prefix, c):
+        for stat in ("weight", "bias", "running_mean", "running_var"):
+            spec[f"{prefix}.{stat}"] = (c,)
+
+    def convblock(prefix, cin, cout):
+        bn(f"{prefix}.bn1", cin)
+        spec[f"{prefix}.conv1.weight"] = (cout // 2, cin, 3, 3)
+        bn(f"{prefix}.bn2", cout // 2)
+        spec[f"{prefix}.conv2.weight"] = (cout // 4, cout // 2, 3, 3)
+        bn(f"{prefix}.bn3", cout // 4)
+        spec[f"{prefix}.conv3.weight"] = (cout // 4, cout // 4, 3, 3)
+        if cin != cout:
+            bn(f"{prefix}.downsample.0", cin)
+            spec[f"{prefix}.downsample.2.weight"] = (cout, cin, 1, 1)
+
+    spec["conv1.weight"] = (64, 3, 7, 7)
+    spec["conv1.bias"] = (64,)
+    bn("bn1", 64)
+    convblock("conv2", 64, 128)
+    convblock("conv3", 128, 128)
+    convblock("conv4", 128, 256)
+    for i in range(num_modules):
+        for lvl in (4, 3, 2, 1):
+            convblock(f"m{i}.b1_{lvl}", 256, 256)
+            convblock(f"m{i}.b2_{lvl}", 256, 256)
+            convblock(f"m{i}.b3_{lvl}", 256, 256)
+        convblock(f"m{i}.b2_plus_1", 256, 256)
+        convblock(f"top_m_{i}", 256, 256)
+        spec[f"conv_last{i}.weight"] = (256, 256, 1, 1)
+        spec[f"conv_last{i}.bias"] = (256,)
+        bn(f"bn_end{i}", 256)
+        spec[f"l{i}.weight"] = (68, 256, 1, 1)
+        spec[f"l{i}.bias"] = (68,)
+        if i < num_modules - 1:
+            spec[f"bl{i}.weight"] = (256, 256, 1, 1)
+            spec[f"bl{i}.bias"] = (256,)
+            spec[f"al{i}.weight"] = (256, 68, 1, 1)
+            spec[f"al{i}.bias"] = (256,)
+    return _rand_sd(spec)
+
+
 @pytest.fixture(scope="module")
 def weights_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("weights")
@@ -135,6 +181,7 @@ def weights_dir(tmp_path_factory):
     torch.save(_resnet18_sd(), d / "rn18.pth")
     torch.save(_sixdrepnet_sd(), d / "6DRepNet_300W_LP_AFLW2000.pth")
     torch.save(_facenet_sd(), d / "vggface2.pth")
+    torch.save(_fan_sd(), d / "2DFAN4-landmarks.pth")
     return str(d)
 
 
@@ -148,6 +195,7 @@ def test_identify_by_signature(weights_dir):
         "rn18.pth": "resnet18",
         "6DRepNet_300W_LP_AFLW2000.pth": "sixdrepnet",
         "vggface2.pth": "vggface",
+        "2DFAN4-landmarks.pth": "fan",
     }
     for fname, kind in kinds.items():
         sd = load_state_dict(os.path.join(weights_dir, fname))
@@ -170,7 +218,7 @@ def test_pipeline_end_to_end(weights_dir, tmp_path):
 
     bundle = load_bundle(out)
     assert set(bundle) >= {"vgg19", "vgg16", "lpips_heads", "vggface",
-                           "sixdrepnet", "resnet18"}
+                           "sixdrepnet", "resnet18", "fan"}
 
     import jax
     import jax.numpy as jnp
