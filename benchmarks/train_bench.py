@@ -96,25 +96,13 @@ def main():
             float(run(g_state, d_state, batches))
         return (time.perf_counter() - t0) / args.reps
 
-    t1 = chained(args.k_small)
-    t2 = chained(args.k_large)
-    per_step = (t2 - t1) / (args.k_large - args.k_small)
+    # A train step is seconds-scale — tunnel RTT (~28 ms) is <1% noise, so
+    # repeated-call timing of the k_small graph suffices. (A k=4 scan is a
+    # second, much larger compile that OOM-kills the remote compile
+    # service at 512^2 — avoid it.)
+    per_step = chained(args.k_small) / args.k_small
     print(f"step time: {per_step * 1e3:.0f} ms  "
           f"({per_step / b * 1e3:.0f} ms/sample)")
-
-    # FLOP estimate of ONE step from XLA cost analysis.
-    try:
-        lowered = jax.jit(
-            lambda g, d, imgs: step(g, d, unpack(imgs))[2]["loss_G"]
-        ).lower(g_state, d_state, make_batches(1)[0])
-        cost = lowered.compile().cost_analysis()
-        flops = (cost or {}).get("flops", 0.0)
-        if flops:
-            print(f"XLA flops/step: {flops / 1e12:.2f} TFLOP -> "
-                  f"{flops / per_step / 1e12:.1f} TF/s achieved "
-                  f"({flops / per_step / 240e12 * 100:.0f}% of 240 TF/s)")
-    except Exception as e:
-        print("cost analysis unavailable:", e)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,11 @@ class TrainingConfig:
     lambda_gaze: float = 1.0
     lambda_supervised: float = 1.0
     lambda_unsupervised: float = 1.0
+    # Legacy-trainer variant: mask pred/target with the host-computed
+    # foreground mask before the perceptual terms (reference
+    # train_highres.py:244-248 via DeepLabV3; our provider-pluggable
+    # data/segmentation.py). Batches must carry 'foreground_mask'.
+    use_foreground_mask: bool = False
     # TPU-native additions (no reference counterpart).
     # Orbax bundle from scripts/convert_weights.py; loaded when the
     # directory exists (frozen loss backbones + SixDRepNet + resnet18

@@ -49,3 +49,13 @@ def get_foreground_mask(
     if provider is not None:
         return provider(image)
     return grabcut_foreground_mask(image)
+
+
+def masks_for_batch(
+    images: np.ndarray,
+    provider: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+) -> np.ndarray:
+    """[B, H, W, 3] -> [B, H, W, 1] foreground masks for the masked-loss
+    trainer variant (TrainingConfig.use_foreground_mask; reference
+    train_highres.py:244-248)."""
+    return np.stack([get_foreground_mask(img, provider) for img in images])

@@ -23,14 +23,46 @@ def _up2(x):
 
 class G2d(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    # Run the 8-block 512-channel trunk as ONE fused Pallas kernel at
+    # inference (ops/pallas/g2d_chain_v2) — activations never leave VMEM
+    # between blocks. Opt-in; batch is processed per-sample.
+    use_chain_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.policy
         x = TorchConv(1536, (1, 1), policy=p, name="reshape_conv")(x)
         x = TorchConv(512, (1, 1), policy=p, name="conv1x1")(x)
-        for i in range(8):
-            x = ResBlock2D(512, policy=p, name=f"res{i}")(x, train)
+        trunk = [ResBlock2D(512, policy=p, name=f"res{i}") for i in range(8)]
+        chain_ok = (
+            self.use_chain_kernel and not train
+            and not self.is_initializing()
+            and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
+        )
+        if chain_ok:
+            from megaportraits_tpu.ops.pallas.g2d_chain_v2 import (
+                fused_resblock_chain_v2,
+            )
+
+            cdt = p.compute_dtype
+            ws, scs, shs = [], [], []
+            for blk in trunk:
+                k1, k2, s1, t1, s2, t2 = blk(x, train, chain_params=True)
+                ws.append(jnp.stack([k1, k2]).astype(cdt))
+                scs.append(jnp.stack([s1, s2]))
+                shs.append(jnp.stack([t1, t2]))
+            weights = jnp.stack(ws)             # [8, 2, 3, 3, 512, 512]
+            scales = jnp.stack(scs)             # [8, 2, 512] f32
+            shifts = jnp.stack(shs)
+            y_tile = max(2, min(8, x.shape[1] // 2))
+            x = jnp.stack([
+                fused_resblock_chain_v2(x[i].astype(cdt), weights,
+                                        scales, shifts, y_tile=y_tile)
+                for i in range(x.shape[0])
+            ])
+        else:
+            for blk in trunk:
+                x = blk(x, train)
         x = _up2(x)
         x = ResBlock2D(256, policy=p, name="up1")(x, train)
         x = _up2(x)

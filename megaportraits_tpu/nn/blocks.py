@@ -292,13 +292,25 @@ class ResBlock2D(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 chain_params: bool = False):
+        """Forward pass; with chain_params=True, instead returns this
+        block's (k1, k2, scale1, shift1, scale2, shift2) with BN folded,
+        for whole-chain kernelization (ops/pallas/g2d_chain_v2). Only
+        valid for same-channel, non-downsample blocks (the G2d trunk)."""
         in_channels = x.shape[-1]
         f = self.out_channels
         k1, b1 = self._conv_params("conv1", 3, 3, in_channels, f)
         bn1 = self._bn_params("bn1", f)
         k2, b2 = self._conv_params("conv2", 3, 3, f, f)
         bn2 = self._bn_params("bn2", f)
+        if chain_params:
+            assert in_channels == f and not self.downsample
+            s1, t1 = self._fold(b1, bn1[0], bn1[1],
+                                bn1[2].value, bn1[3].value)
+            s2, t2 = self._fold(b2, bn2[0], bn2[1],
+                                bn2[2].value, bn2[3].value)
+            return k1, k2, s1, t1, s2, t2
 
         identity = x
         if self.downsample:

@@ -73,9 +73,11 @@ def init_states(
     )
     k_g, k_d, k_p = jax.random.split(rng, 3)
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
-    g_vars = gbase.init(k_g, dummy, dummy)
-    d_vars = disc.init(k_d, dummy, dummy)
-    p_vars = ploss.init(k_p, dummy, dummy)
+    # jit the inits: eager init dispatches thousands of individual ops —
+    # pathological through the axon tunnel (~28 ms RTT per dispatch).
+    g_vars = jax.jit(gbase.init)(k_g, dummy, dummy)
+    d_vars = jax.jit(disc.init)(k_d, dummy, dummy)
+    p_vars = jax.jit(ploss.init)(k_p, dummy, dummy)
 
     # Converted pretrained weights (frozen loss backbones + SixDRepNet +
     # resnet18 trunks) — loaded when a bundle exists at pretrained_path.
@@ -141,6 +143,13 @@ def make_train_step(
         xs_next = batch["source_next"]
         xs_star = batch["source_star"]
         xd_star = batch["driving_star"]
+        # Legacy-trainer foreground masking (train_highres.py:244-248):
+        # host-computed mask multiplies pred/target before the perceptual
+        # terms. [B, H, W, 1], 1 = keep.
+        fg_mask = (
+            batch.get("foreground_mask")
+            if t.use_foreground_mask else None
+        )
 
         # ------------------------------------------------------------------
         # Generator loss (captures everything that needs G gradients).
@@ -168,6 +177,14 @@ def make_train_step(
                 tgt = linear_resize(
                     xd, pred_scaled.shape[1:3], axes=(1, 2), align_corners=False
                 )
+                if fg_mask is not None:
+                    m = linear_resize(
+                        fg_mask.astype(pred_scaled.dtype),
+                        pred_scaled.shape[1:3], axes=(1, 2),
+                        align_corners=False,
+                    )
+                    pred_scaled = pred_scaled * m
+                    tgt = tgt * m
                 loss_per = loss_per + perceptual(pred_scaled, tgt)
 
             # Adversarial: D is frozen inside the G step.

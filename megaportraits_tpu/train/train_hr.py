@@ -33,10 +33,10 @@ def init_hr_state(cfg: Config, rng: jax.Array, policy: Policy = DEFAULT_POLICY,
     k1, k2 = jax.random.split(rng)
     dummy = jnp.zeros((1, image_size * upscale, image_size * upscale, 3),
                       policy.compute_dtype)
-    variables = genh.init(k1, dummy)
+    variables = jax.jit(genh.init)(k1, dummy)
     ploss = PerceptualLoss(weights={"vgg19": 1.0, "vggface": 0.0, "gaze": 0.0,
                                     "lpips": 0.0}, policy=policy)
-    p_vars = ploss.init(k2, dummy, dummy)
+    p_vars = jax.jit(ploss.init)(k2, dummy, dummy)
     steps = (cfg.training.steps_per_epoch or 1) * cfg.training.hr_epochs
     tx = make_optimizer(cfg.training.lr, steps)
     state = TrainState.create(variables["params"],

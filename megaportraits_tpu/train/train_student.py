@@ -28,7 +28,7 @@ def init_student_state(
     student = Student(num_avatars=cfg.training.num_avatars, policy=policy)
     dummy = jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype)
     idx = jnp.zeros((1,), jnp.int32)
-    variables = student.init(rng, dummy, idx)
+    variables = jax.jit(student.init)(rng, dummy, idx)
     steps = (cfg.training.steps_per_epoch or 1) * cfg.training.student_epochs
     tx = make_optimizer(cfg.training.lr, steps)
     state = TrainState.create(variables["params"],

@@ -101,7 +101,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
 
             taps = VGG19_REFERENCE_TAPS if cfg == "vgg19" else LPIPS_TAPS
             net = VGG(cfg=cfg, taps=taps, policy=FP32_POLICY)
-            init = net.init(key, jnp.asarray(x))["params"]
+            init = jax.jit(net.init)(key, jnp.asarray(x))["params"]
             merged = tc.merge_params(init, params)
             ours = net.apply({"params": merged}, jnp.asarray(x))
             prefix = "features." if any(
@@ -131,7 +131,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
             size = max(golden_size, 96)  # stem needs >=~80 px
             xx = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
             net = InceptionResnetV1(policy=FP32_POLICY)
-            init = net.init(key, jnp.asarray(xx), True)["params"]
+            init = jax.jit(net.init)(key, jnp.asarray(xx), True)["params"]
             merged = tc.merge_params(init, params)
             emb, taps = net.apply({"params": merged}, jnp.asarray(xx), True)
             ref_emb, ref_taps = tg.golden_inception_taps(
@@ -151,7 +151,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
         err = None
         if golden:
             net = SixDRepNet(policy=FP32_POLICY)
-            init = net.init(key, jnp.asarray(x), False)["params"]
+            init = jax.jit(net.init)(key, jnp.asarray(x), False)["params"]
             merged = tc.merge_params(init, params)
             rot, _ = net.apply({"params": merged}, jnp.asarray(x), False)
             six = tg.golden_sixdrepnet_6d(sd, x_nchw)
@@ -168,7 +168,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
             size = max(golden_size, 64)
             xx = rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32)
             net = FAN(num_modules=num_modules, policy=FP32_POLICY)
-            init = net.init(key, jnp.asarray(xx))["params"]
+            init = jax.jit(net.init)(key, jnp.asarray(xx))["params"]
             merged = tc.merge_params(init, params)
             hm = net.apply({"params": merged}, jnp.asarray(xx))
             ref = tg.golden_fan(sd, np.transpose(xx, (0, 3, 1, 2)))
@@ -189,7 +189,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
 
             block = Bottleneck if bottleneck else BasicBlock
             trunk = _ResNetTrunk(block, layers, policy=FP32_POLICY)
-            variables = trunk.init(key, jnp.asarray(x), False)
+            variables = jax.jit(trunk.init, static_argnums=2)(key, jnp.asarray(x), False)
             merged_p = tc.merge_params(variables["params"], params["trunk"])
             merged_s = tc.merge_params(
                 variables["batch_stats"], stats["trunk"]

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Student 1024^2 redesign quality validation (VERDICT r1 weak #8).
+
+Distills the Student against the frozen GHR teacher on the overfit frames
+and reports LPIPS(student, teacher) + pixel MSE over held-out driving
+frames, with side-by-side PNG dumps — the quality evidence to sit next to
+the 56 fps serving claim (benchmarks/RESULTS.md 'Student 1024x1024').
+
+    python scripts/validate_student.py [--size 256] [--steps 300]
+        [--out benchmarks/student_quality]
+
+Teacher weights are random-init unless --gbase-ckpt points to a trained
+export; the distillation target is the teacher's OUTPUT DISTRIBUTION either
+way, so LPIPS(student, teacher) still measures how faithfully the student's
+/8+/4-SPADE decoder can imitate the full teacher pipeline — the question
+the redesign raised.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--num-avatars", type=int, default=2)
+    ap.add_argument("--out", default="benchmarks/student_quality")
+    ap.add_argument("--video-dir", default="/root/reference/junk")
+    ap.add_argument("--json-file",
+                    default="/root/reference/data/overfit.json")
+    ap.add_argument("--lr", type=float, default=2e-4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from megaportraits_tpu.core.config import Config
+    from megaportraits_tpu.core.dtypes import DEFAULT_POLICY
+    from megaportraits_tpu.models.genh import GHR
+    from megaportraits_tpu.losses.perceptual import LPIPS
+    from megaportraits_tpu.core.dtypes import FP32_POLICY
+    from megaportraits_tpu.train.state import make_optimizer, TrainState
+    from megaportraits_tpu.train.train_student import (
+        init_student_state, make_student_train_step,
+    )
+
+    cfg = Config()
+    cfg.data.train_width = cfg.data.train_height = args.size
+    cfg.training.steps_per_epoch = args.steps
+    cfg.training.student_epochs = 1
+    cfg.training.num_avatars = args.num_avatars
+    cfg.training.lr = args.lr
+
+    rng = jax.random.PRNGKey(0)
+    policy = DEFAULT_POLICY
+
+    # Data: avatar a <- video a's frames (driving role).
+    frames = _load_frames(args)
+    print(f"loaded {sum(len(f) for f in frames)} frames over "
+          f"{len(frames)} avatars")
+
+    teacher = GHR(policy=policy)
+    dummy = jnp.zeros((1, args.size, args.size, 3), policy.compute_dtype)
+    t_vars = jax.jit(teacher.init)(rng, dummy, dummy)
+
+    student, state = init_student_state(cfg, rng, policy, args.size)
+    step = make_student_train_step(student, teacher, t_vars, cfg,
+                                   donate=False)
+
+    rngn = np.random.default_rng(0)
+    t0 = time.time()
+    loss_curve = []
+    for it in range(args.steps):
+        batch = _sample_batch(frames, args.batch, rngn)
+        state, metrics = step(state, batch)
+        if it % 50 == 0 or it == args.steps - 1:
+            loss = float(metrics["loss_student"])
+            loss_curve.append((it, loss))
+            print(f"step {it}: distill MSE {loss:.5f} "
+                  f"({(time.time() - t0):.0f}s)")
+
+    # Held-out eval: LAST frame of each avatar (never sampled: sampler
+    # draws from [0, n-1)).
+    lp = LPIPS(policy=FP32_POLICY)
+    lp_vars = jax.jit(lp.init)(rng, dummy.astype(jnp.float32),
+                               dummy.astype(jnp.float32))
+    lp_apply = jax.jit(lambda a, b: lp.apply(lp_vars, a, b))
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    s_vars = {"params": state.params}
+    if state.batch_stats is not None:
+        s_vars["batch_stats"] = state.batch_stats
+    for a, fs in enumerate(frames):
+        xd = jnp.asarray(fs[-1])[None]
+        xs = jnp.asarray(fs[0])[None]
+        tgt = teacher.apply(t_vars, xs, xd)
+        tgt01 = np.asarray((tgt.astype(jnp.float32) + 1.0) * 0.5)
+        pred = np.asarray(student.apply(
+            s_vars, xd, jnp.asarray([a], jnp.int32)
+        ).astype(jnp.float32))
+        mse = float(np.mean((pred - tgt01) ** 2))
+        lpips_val = float(lp_apply(
+            jnp.asarray(pred) * 2 - 1, jnp.asarray(tgt01) * 2 - 1)[0])
+        rows.append((a, mse, lpips_val))
+        _save_png(np.concatenate([tgt01[0], pred[0]], axis=1),
+                  os.path.join(args.out, f"avatar{a}_teacher_vs_student.png"))
+        print(f"avatar {a}: held-out MSE {mse:.5f}  LPIPS {lpips_val:.4f}")
+
+    with open(os.path.join(args.out, "RESULTS.txt"), "w") as f:
+        f.write(f"steps={args.steps} size={args.size} "
+                f"avatars={args.num_avatars}\n")
+        f.write("loss curve: " + ", ".join(
+            f"{i}:{v:.5f}" for i, v in loss_curve) + "\n")
+        for a, mse, lpips_val in rows:
+            f.write(f"avatar {a}: heldout MSE {mse:.5f} "
+                    f"LPIPS {lpips_val:.4f}\n")
+    print(f"wrote {args.out}/RESULTS.txt")
+    return 0
+
+
+def _load_frames(args):
+    from megaportraits_tpu.data.dataset import EMODataset
+
+    ds = EMODataset(
+        width=args.size, height=args.size, n_sample_frames=8,
+        sample_rate=25, video_dir=args.video_dir, json_file=args.json_file,
+        cache_dir="/tmp/megaportraits_cache",
+    )
+    os.makedirs("/tmp/megaportraits_cache", exist_ok=True)
+    frames = []
+    for a in range(min(args.num_avatars, len(ds))):
+        frames.append(ds.load_and_process_video(
+            ds.video_ids[a])["source_frames"])
+    return frames
+
+
+def _sample_batch(frames, batch, rngn):
+    xs, xd, idx = [], [], []
+    for _ in range(batch):
+        a = int(rngn.integers(len(frames)))
+        fs = frames[a]
+        xs.append(fs[int(rngn.integers(len(fs) - 1))])
+        xd.append(fs[int(rngn.integers(len(fs) - 1))])
+        idx.append(a)
+    return {
+        "source": np.stack(xs), "driving": np.stack(xd),
+        "avatar_index": np.asarray(idx, np.int32),
+    }
+
+
+def _save_png(img01, path):
+    from PIL import Image
+
+    Image.fromarray(
+        (np.clip(img01, 0, 1) * 255).astype(np.uint8)
+    ).save(path)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

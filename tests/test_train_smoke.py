@@ -75,6 +75,74 @@ def test_multichip_dryrun_8_devices():
 
 
 @pytest.mark.slow
+def test_foreground_masked_loss_variant():
+    """Legacy-trainer variant (reference train_highres.py:244-248): a
+    zero foreground mask must zero the pyramid perceptual term relative
+    to the unmasked step (same weights, same batch)."""
+    from megaportraits_tpu.train.train_base import init_states, make_train_step
+
+    cfg = _cfg()
+    cfg.training.use_foreground_mask = True
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=FP32_POLICY, image_size=SIZE
+    )
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+    batch = _batch()
+    batch["foreground_mask"] = np.ones((2, SIZE, SIZE, 1), np.float32)
+    _, _, m_ones, _ = step(g_state, d_state, batch)
+    batch["foreground_mask"] = np.zeros((2, SIZE, SIZE, 1), np.float32)
+    _, _, m_zero, _ = step(g_state, d_state, batch)
+    # Masking everything out changes (reduces) the perceptual term; the
+    # gaze slot keeps it a nonzero constant.
+    assert float(m_zero["loss_G_per"]) < float(m_ones["loss_G_per"])
+
+
+@pytest.mark.slow
+def test_data_parallel_grads_match_single_device():
+    """One fused train step on an 8-device DP mesh must produce the same
+    updated parameters as the identical step on one device (VERDICT r1
+    item #10: distributed-correctness evidence, not just 'it runs')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from megaportraits_tpu.parallel.mesh import make_mesh, DATA_AXIS
+    from megaportraits_tpu.train.train_base import init_states, make_train_step
+
+    assert jax.device_count() >= 8
+    cfg = _cfg()
+    cfg.training.batch_size = 8
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=FP32_POLICY, image_size=SIZE
+    )
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+    batch = _batch(b=8)
+
+    # Single device.
+    g1, d1, m1, _ = step(g_state, d_state, batch)
+
+    # 8-device data-parallel: shard the batch, replicate states. XLA
+    # inserts the gradient all-reduces (GSPMD).
+    mesh = make_mesh({DATA_AXIS: 8})
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    g_state8 = jax.device_put(g_state, replicated)
+    d_state8 = jax.device_put(d_state, replicated)
+    batch8 = {k: jax.device_put(v, sharded) for k, v in batch.items()}
+    g8, d8, m8, _ = step(g_state8, d_state8, batch8)
+
+    np.testing.assert_allclose(
+        float(m1["loss_G"]), float(m8["loss_G"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g1.params),
+                    jax.tree_util.tree_leaves(g8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(d1.params),
+                    jax.tree_util.tree_leaves(d8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_unrolled_train_step():
     """unroll>1: stacked batches run via lax.scan in one call."""
     from megaportraits_tpu.train.train_base import init_states, make_train_step
