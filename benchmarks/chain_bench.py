@@ -81,8 +81,12 @@ def main():
     c, n = args.c, args.n
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (h, x_size, c), jnp.bfloat16)
+    # Variance-preserving weight scale (1/sqrt(fan_in)): with exploding
+    # activations, bf16 rounding amplifies geometrically over 16 convs and
+    # swamps the parity check; BN-folded production scales are ~unit.
+    wscale = (9 * c) ** -0.5
     w = (jax.random.normal(jax.random.PRNGKey(1), (n, 2, 3, 3, c, c),
-                           jnp.bfloat16) * 0.04)
+                           jnp.bfloat16) * wscale)
     scales = jax.random.uniform(jax.random.PRNGKey(2), (n, 2, c),
                                 jnp.float32, 0.8, 1.2)
     shifts = jax.random.normal(jax.random.PRNGKey(3), (n, 2, c)) * 0.05

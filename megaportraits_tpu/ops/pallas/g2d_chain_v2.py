@@ -268,6 +268,12 @@ def fused_resblock_chain_v2(
             pltpu.VMEM((c, c), weights.dtype),         # weight slot 1
             pltpu.SemaphoreType.DMA((3,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # Stack temporaries (f32 strip accumulators, shifted-row
+            # concats) push total VMEM past the 16 MB default scoped
+            # limit; v5e has headroom.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, weights, scales, shifts)

@@ -131,7 +131,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
             size = max(golden_size, 96)  # stem needs >=~80 px
             xx = rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32)
             net = InceptionResnetV1(policy=FP32_POLICY)
-            init = jax.jit(net.init)(key, jnp.asarray(xx), True)["params"]
+            init = jax.jit(net.init, static_argnums=2)(key, jnp.asarray(xx), True)["params"]
             merged = tc.merge_params(init, params)
             emb, taps = net.apply({"params": merged}, jnp.asarray(xx), True)
             ref_emb, ref_taps = tg.golden_inception_taps(
@@ -151,7 +151,7 @@ def _convert_and_check(kind: str, sd: dict, golden_size: int, golden: bool):
         err = None
         if golden:
             net = SixDRepNet(policy=FP32_POLICY)
-            init = jax.jit(net.init)(key, jnp.asarray(x), False)["params"]
+            init = jax.jit(net.init, static_argnums=2)(key, jnp.asarray(x), False)["params"]
             merged = tc.merge_params(init, params)
             rot, _ = net.apply({"params": merged}, jnp.asarray(x), False)
             six = tg.golden_sixdrepnet_6d(sd, x_nchw)
