@@ -144,8 +144,11 @@ def provider_from_bundle(bundle_path: str):
     bundle = load_bundle(bundle_path)
     if not bundle or "fan" not in bundle:
         return None
+    params = bundle["fan"]
+    num_modules = sum(1 for k in params if k.startswith("m")
+                      and k[1:].isdigit())
     provider = FANLandmarkProvider(
-        variables={"params": bundle["fan"]}, trained=True
+        variables={"params": params}, num_modules=num_modules, trained=True
     )
     set_landmark_provider(provider)
     return provider
