@@ -130,14 +130,26 @@ def main():
 
 
 def _load_frames(args):
+    import glob as _glob
+    import json as _json
+    import tempfile
+
     from megaportraits_tpu.data.dataset import EMODataset
 
+    # One avatar per video: enumerate ALL clips in video_dir (overfit.json
+    # lists only one) so multi-avatar SPADE conditioning is exercised.
+    ids = sorted(os.path.splitext(os.path.basename(p))[0]
+                 for p in _glob.glob(os.path.join(args.video_dir, "*.mp4")))
+    meta = {"clips": {i: {} for i in ids}}
+    tmp_json = os.path.join(tempfile.gettempdir(), "student_clips.json")
+    with open(tmp_json, "w") as f:
+        _json.dump(meta, f)
+    os.makedirs("/tmp/megaportraits_cache", exist_ok=True)
     ds = EMODataset(
         width=args.size, height=args.size, n_sample_frames=8,
-        sample_rate=25, video_dir=args.video_dir, json_file=args.json_file,
+        sample_rate=25, video_dir=args.video_dir, json_file=tmp_json,
         cache_dir="/tmp/megaportraits_cache",
     )
-    os.makedirs("/tmp/megaportraits_cache", exist_ok=True)
     frames = []
     for a in range(min(args.num_avatars, len(ds))):
         frames.append(ds.load_and_process_video(
