@@ -34,8 +34,9 @@ def prefetch_to_device(
                 else:
                     item = jax.tree_util.tree_map(jax.device_put, item)
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # propagate, never end silently
+            q.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -43,4 +44,6 @@ def prefetch_to_device(
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -33,6 +33,15 @@ from megaportraits_tpu.utils.logging import MetricsWriter
 def train_base(cfg: Config, max_steps: int | None = None) -> dict:
     policy = DEFAULT_POLICY if cfg.training.use_bf16 else FP32_POLICY
     mesh = make_mesh(cfg.training.mesh_shape)
+    # The data axis must divide the global batch; shrink to the largest
+    # divisor when it doesn't (e.g. batch 2 on an 8-device test mesh).
+    from megaportraits_tpu.parallel.mesh import DATA_AXIS
+
+    if cfg.training.batch_size % mesh.shape[DATA_AXIS]:
+        n = mesh.shape[DATA_AXIS]
+        while cfg.training.batch_size % n:
+            n -= 1
+        mesh = make_mesh({DATA_AXIS: n}, devices=jax.devices()[:n])
     rng = jax.random.PRNGKey(cfg.training.seed)
 
     dataset = EMODataset(
