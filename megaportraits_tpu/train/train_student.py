@@ -44,14 +44,21 @@ def make_student_train_step(
     donate: bool = True,
 ):
     def step(state: TrainState, batch: Dict[str, Any]):
-        xs, xd = batch["source"], batch["driving"]
+        xd = batch["driving"]
         avatar_index = batch["avatar_index"]
 
-        target = teacher.apply(teacher_variables, xs, xd)
-        # Teacher Genh outputs tanh [-1,1]; student outputs sigmoid [0,1].
-        target01 = jax.lax.stop_gradient(
-            (target.astype(jnp.float32) + 1.0) * 0.5
-        )
+        if "target01" in batch:
+            # Precomputed teacher output (teacher_forward below) — keeps
+            # the teacher out of the student's compiled graph; the fused
+            # GHR-teacher + student-backward graph at >=256px overwhelms
+            # the remote compile service.
+            target01 = jax.lax.stop_gradient(batch["target01"])
+        else:
+            target = teacher.apply(teacher_variables, batch["source"], xd)
+            # Teacher Genh outputs tanh [-1,1]; student sigmoid [0,1].
+            target01 = jax.lax.stop_gradient(
+                (target.astype(jnp.float32) + 1.0) * 0.5
+            )
 
         def loss_fn(params):
             variables = {"params": params}
@@ -73,3 +80,27 @@ def make_student_train_step(
         return state.apply_gradients(grads, new_stats), {"loss_student": loss}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_teacher_forward(teacher: GHR, teacher_variables: Any):
+    """Frozen-teacher forward returning [0,1] targets, compiled as TWO
+    graphs (Gbase, then Genh): the fused GHR graph at >=256px crashes the
+    remote compile service; each half compiles fine and the split costs
+    one extra device round trip per batch on a frozen no-grad path."""
+
+    @jax.jit
+    def base_fwd(xs, xd):
+        xhat, _ = teacher.apply(teacher_variables, xs, xd,
+                                method=lambda m, a, b: m.gbase(a, b))
+        return xhat
+
+    @jax.jit
+    def enh_fwd(xhat_base):
+        target = teacher.apply(teacher_variables, xhat_base,
+                               method=lambda m, a: m.genh(a))
+        return (target.astype(jnp.float32) + 1.0) * 0.5
+
+    def forward(xs, xd):
+        return enh_fwd(base_fwd(xs, xd))
+
+    return forward

@@ -51,7 +51,7 @@ def main():
     from megaportraits_tpu.core.dtypes import FP32_POLICY
     from megaportraits_tpu.train.state import make_optimizer, TrainState
     from megaportraits_tpu.train.train_student import (
-        init_student_state, make_student_train_step,
+        init_student_state, make_student_train_step, make_teacher_forward,
     )
 
     cfg = Config()
@@ -76,12 +76,14 @@ def main():
     student, state = init_student_state(cfg, rng, policy, args.size)
     step = make_student_train_step(student, teacher, t_vars, cfg,
                                    donate=False)
+    teacher_fwd = make_teacher_forward(teacher, t_vars)
 
     rngn = np.random.default_rng(0)
     t0 = time.time()
     loss_curve = []
     for it in range(args.steps):
         batch = _sample_batch(frames, args.batch, rngn)
+        batch["target01"] = teacher_fwd(batch["source"], batch["driving"])
         state, metrics = step(state, batch)
         if it % 50 == 0 or it == args.steps - 1:
             loss = float(metrics["loss_student"])
@@ -101,14 +103,15 @@ def main():
     s_vars = {"params": state.params}
     if state.batch_stats is not None:
         s_vars["batch_stats"] = state.batch_stats
+    student_fwd = jax.jit(
+        lambda v, xd, idx: student.apply(v, xd, idx).astype(jnp.float32)
+    )
     for a, fs in enumerate(frames):
         xd = jnp.asarray(fs[-1])[None]
         xs = jnp.asarray(fs[0])[None]
-        tgt = teacher.apply(t_vars, xs, xd)
-        tgt01 = np.asarray((tgt.astype(jnp.float32) + 1.0) * 0.5)
-        pred = np.asarray(student.apply(
-            s_vars, xd, jnp.asarray([a], jnp.int32)
-        ).astype(jnp.float32))
+        tgt01 = np.asarray(teacher_fwd(xs, xd))
+        pred = np.asarray(student_fwd(s_vars, xd,
+                                      jnp.asarray([a], jnp.int32)))
         mse = float(np.mean((pred - tgt01) ** 2))
         lpips_val = float(lp_apply(
             jnp.asarray(pred) * 2 - 1, jnp.asarray(tgt01) * 2 - 1)[0])
