@@ -99,12 +99,16 @@ def apply_to_gbase(variables: dict, bundle: Dict[str, Any]):
         r18 = bundle["resnet18"]
         for head in ("head_pose_net", "expression_net"):
             if head in emtn_p:
-                # head_pose_net is a full ResNet18 ({trunk, fc});
-                # expression_net is a bare trunk tree.
+                # Graft the TRUNK only: the torchvision fc is 1000-class;
+                # the reference replaces it (model.py:874 fc->6) and so do
+                # we — head fc layers stay at their fresh init.
                 tgt_p = emtn_p[head]
-                src_p = r18["params"] if "trunk" in tgt_p \
-                    else r18["params"]["trunk"]
-                n += _merge_loose(tgt_p, src_p, head)
+                if "trunk" in tgt_p:
+                    n += _merge_loose(tgt_p["trunk"],
+                                      r18["params"]["trunk"],
+                                      f"{head}/trunk")
+                else:
+                    n += _merge_loose(tgt_p, r18["params"]["trunk"], head)
                 if stats is not None and head in stats.get(
                         "motion_encoder", {}):
                     tgt_s = stats["motion_encoder"][head]

@@ -30,6 +30,13 @@ def _rand_sd(spec: dict) -> dict:
             arr = RNG.uniform(0.5, 1.5, shape)
         elif key.endswith("running_mean"):
             arr = RNG.uniform(-0.3, 0.3, shape)
+        elif key.endswith(".weight") and len(shape) == 1:
+            # BN scale: near 1 — wild random scales amplify activations
+            # geometrically through deep stacks (FAN: ~50 ConvBlocks) and
+            # swamp golden fp32 tolerances with pure rounding noise.
+            arr = RNG.uniform(0.8, 1.2, shape)
+        elif key.endswith(".bias") and len(shape) == 1:
+            arr = RNG.normal(0, 0.1, shape)
         else:
             fan = max(int(np.prod(shape[1:])), 1)
             arr = RNG.normal(0, (2.0 / fan) ** 0.5, shape)
