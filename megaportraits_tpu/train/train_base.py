@@ -122,6 +122,11 @@ def make_train_step(
     w = dict(per=t.w_per, adv=t.w_adv, fm=t.w_fm, cos=t.w_cos,
              pairwise=t.w_pairwise, identity=t.w_identity)
 
+    # NOTE: ploss_vars is threaded through as a JIT ARGUMENT (bound by the
+    # returned wrapper), never closed over: closed-over param trees are
+    # inlined as HLO constants, which bloats the compile request by the
+    # full frozen-backbone weight size (the remote compile service
+    # rejects/OOMs on such requests, and compiles take far longer).
     def g_forward(params, batch_stats, xs, xd, train):
         variables = {"params": params}
         if batch_stats is not None:
@@ -134,10 +139,11 @@ def make_train_step(
         xhat, pyr = gbase.apply(variables, xs, xd, train)
         return xhat, pyr, batch_stats
 
-    def perceptual(pred, target):
-        return ploss.apply(ploss_vars, pred, target)
+    def step(g_state: TrainState, d_state: TrainState, batch: Dict[str, Any],
+             p_vars: Any = None):
+        def perceptual(pred, target):
+            return ploss.apply(p_vars, pred, target)
 
-    def step(g_state: TrainState, d_state: TrainState, batch: Dict[str, Any]):
         xs = batch["source"]
         xd = batch["driving"]
         xs_next = batch["source_next"]
@@ -267,12 +273,13 @@ def make_train_step(
 
     donate_argnums = (0, 1) if donate else ()
     if unroll <= 1:
-        return jax.jit(step, donate_argnums=donate_argnums)
+        jitted = jax.jit(step, donate_argnums=donate_argnums)
+        return lambda g, d, b: jitted(g, d, b, ploss_vars)
 
-    def multi_step(g_state, d_state, batches):
+    def multi_step(g_state, d_state, batches, p_vars):
         def body(carry, batch):
             g, d = carry
-            g, d, metrics, xhat = step(g, d, batch)
+            g, d, metrics, xhat = step(g, d, batch, p_vars)
             return (g, d), metrics
 
         (g_state, d_state), metrics = jax.lax.scan(
@@ -281,4 +288,5 @@ def make_train_step(
         last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return g_state, d_state, last_metrics, None
 
-    return jax.jit(multi_step, donate_argnums=donate_argnums)
+    jitted_multi = jax.jit(multi_step, donate_argnums=donate_argnums)
+    return lambda g, d, b: jitted_multi(g, d, b, ploss_vars)

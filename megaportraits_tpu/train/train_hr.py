@@ -57,11 +57,16 @@ def make_hr_train_step(
     w_per: float = 1.0,
     donate: bool = True,
 ):
-    def step(state: TrainState, batch: Dict[str, Any]):
+    # Frozen-model variables are threaded as JIT ARGUMENTS (bound by the
+    # returned wrapper) — closed-over trees become HLO constants and bloat
+    # the compile request by the whole weight size (remote compile service
+    # rejects/OOMs).
+    def step(state: TrainState, batch: Dict[str, Any], g_vars: Any,
+             p_vars: Any):
         xs, xd, target_hr = batch["source"], batch["driving"], batch["target_hr"]
 
         # Frozen base forward (train_highres.py:319-321).
-        xhat_base, _ = gbase.apply(gbase_variables, xs, xd)
+        xhat_base, _ = gbase.apply(g_vars, xs, xd)
         xhat_base = jax.lax.stop_gradient(xhat_base)
         if upscale != 1:
             hr_size = [s * upscale for s in xhat_base.shape[1:3]]
@@ -92,7 +97,7 @@ def make_hr_train_step(
             loss_unsup = jnp.mean(
                 jnp.abs(cycle01 - xhat_base.astype(jnp.float32))
             )
-            loss_per = ploss.apply(ploss_vars, pred01, target_hr)
+            loss_per = ploss.apply(p_vars, pred01, target_hr)
             total = w_sup * loss_sup + w_unsup * loss_unsup + w_per * loss_per
             metrics = {"loss_hr": total, "loss_sup": loss_sup,
                        "loss_unsup": loss_unsup, "loss_per": loss_per}
@@ -103,4 +108,6 @@ def make_hr_train_step(
         )(state.params)
         return state.apply_gradients(grads, new_stats), metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return lambda state, batch: jitted(state, batch, gbase_variables,
+                                       ploss_vars)

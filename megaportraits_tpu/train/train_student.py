@@ -43,7 +43,7 @@ def make_student_train_step(
     cfg: Config,
     donate: bool = True,
 ):
-    def step(state: TrainState, batch: Dict[str, Any]):
+    def step(state: TrainState, batch: Dict[str, Any], t_vars: Any):
         xd = batch["driving"]
         avatar_index = batch["avatar_index"]
 
@@ -54,7 +54,7 @@ def make_student_train_step(
             # the remote compile service.
             target01 = jax.lax.stop_gradient(batch["target01"])
         else:
-            target = teacher.apply(teacher_variables, batch["source"], xd)
+            target = teacher.apply(t_vars, batch["source"], xd)
             # Teacher Genh outputs tanh [-1,1]; student sigmoid [0,1].
             target01 = jax.lax.stop_gradient(
                 (target.astype(jnp.float32) + 1.0) * 0.5
@@ -79,28 +79,51 @@ def make_student_train_step(
         )
         return state.apply_gradients(grads, new_stats), {"loss_student": loss}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    # teacher_variables threaded as a jit argument — closures inline weight
+    # trees as HLO constants (compile-request bloat; see make_teacher_forward).
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return lambda state, batch: jitted(state, batch, teacher_variables)
 
 
 def make_teacher_forward(teacher: GHR, teacher_variables: Any):
     """Frozen-teacher forward returning [0,1] targets, compiled as TWO
-    graphs (Gbase, then Genh): the fused GHR graph at >=256px crashes the
-    remote compile service; each half compiles fine and the split costs
-    one extra device round trip per batch on a frozen no-grad path."""
+    graphs (Gbase, then Genh) on standalone module bindings: the fused
+    GHR graph (and even its method-scoped halves) reliably crashes the
+    remote compile service at >=128px, while the identical math bound to
+    plain Gbase/Genh modules compiles; the split costs one extra device
+    round trip per batch on a frozen no-grad path."""
+    from megaportraits_tpu.models.gbase import Gbase
+    from megaportraits_tpu.models.genh import Genh
 
+    def _sub(tree_key):
+        out = {}
+        for col, tree in teacher_variables.items():
+            if tree_key in tree:
+                out[col] = tree[tree_key]
+        return out
+
+    base = Gbase(policy=teacher.policy,
+                 warp_normalize_mode=teacher.warp_normalize_mode)
+    genh = Genh(policy=teacher.policy)
+    base_vars = _sub("gbase")
+    genh_vars = _sub("genh")
+
+    # Variables are jit ARGUMENTS, never closures: closed-over param trees
+    # are inlined as HLO constants — a ~0.5 GB compile request that the
+    # remote compile service rejects (HTTP 413) or dies buffering
+    # (broken pipe). This was the root cause of every fused/split teacher
+    # compile failure.
     @jax.jit
-    def base_fwd(xs, xd):
-        xhat, _ = teacher.apply(teacher_variables, xs, xd,
-                                method=lambda m, a, b: m.gbase(a, b))
+    def base_fwd(variables, xs, xd):
+        xhat, _ = base.apply(variables, xs, xd)
         return xhat
 
     @jax.jit
-    def enh_fwd(xhat_base):
-        target = teacher.apply(teacher_variables, xhat_base,
-                               method=lambda m, a: m.genh(a))
+    def enh_fwd(variables, xhat_base):
+        target = genh.apply(variables, xhat_base)
         return (target.astype(jnp.float32) + 1.0) * 0.5
 
     def forward(xs, xd):
-        return enh_fwd(base_fwd(xs, xd))
+        return enh_fwd(genh_vars, base_fwd(base_vars, xs, xd))
 
     return forward

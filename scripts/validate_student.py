@@ -69,8 +69,12 @@ def main():
     print(f"loaded {sum(len(f) for f in frames)} frames over "
           f"{len(frames)} avatars")
 
-    teacher = GHR(policy=policy)
-    dummy = jnp.zeros((1, args.size, args.size, 3), policy.compute_dtype)
+    # fp32 teacher: the bf16 full-forward graph reliably crashes the
+    # remote compile service at 128-256px (7/7 attempts; the fp32 graph
+    # compiles) — and fp32 targets are the higher-fidelity distillation
+    # reference anyway. The student itself stays bf16.
+    teacher = GHR(policy=FP32_POLICY)
+    dummy = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     t_vars = jax.jit(teacher.init)(rng, dummy, dummy)
 
     student, state = init_student_state(cfg, rng, policy, args.size)
