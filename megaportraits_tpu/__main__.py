@@ -47,49 +47,17 @@ def main():
         args = parser.parse_args()
         lpips_apply = embedding_apply = None
         if args.pretrained:
-            import jax
-            import jax.numpy as jnp
+            from megaportraits_tpu.eval.metrics import make_eval_callables
 
-            from megaportraits_tpu.core.dtypes import FP32_POLICY
-            from megaportraits_tpu.data.landmarks import provider_from_bundle
-            from megaportraits_tpu.utils.pretrained import load_bundle
-            from megaportraits_tpu.utils.torch_convert import merge_params
-
-            bundle = load_bundle(args.pretrained) or {}
-            if provider_from_bundle(args.pretrained):
-                print("eval: FAN 68-point landmarks active")
-            if "vgg16" in bundle and "lpips_heads" in bundle:
-                from megaportraits_tpu.losses.perceptual import LPIPS
-
-                lp = LPIPS(policy=FP32_POLICY)
-                d = jnp.zeros((1, 64, 64, 3), jnp.float32)
-                init = jax.jit(lp.init)(jax.random.PRNGKey(0), d, d)
-                merged = merge_params(
-                    init["params"],
-                    {"vgg16": bundle["vgg16"], **bundle["lpips_heads"]},
-                )
-                lpips_apply = jax.jit(
-                    lambda a, b: lp.apply({"params": merged}, a, b))
+            lpips_apply, embedding_apply = make_eval_callables(args.pretrained)
+            if lpips_apply is not None:
                 print("eval: converted LPIPS active")
-            if "vggface" in bundle:
-                from megaportraits_tpu.losses.vggface import InceptionResnetV1
-
-                face = InceptionResnetV1(policy=FP32_POLICY)
-                d = jnp.zeros((1, 160, 160, 3), jnp.float32)
-                init = jax.jit(face.init, static_argnums=2)(
-                    jax.random.PRNGKey(0), d, False)
-                fmerged = merge_params(init["params"], bundle["vggface"])
-                from megaportraits_tpu.ops.resize import linear_resize
-
-                def embedding_apply(img):
-                    img = linear_resize(img, (160, 160), axes=(1, 2),
-                                        align_corners=False)
-                    return face.apply({"params": fmerged}, img * 2.0 - 1.0)
-
+            if embedding_apply is not None:
                 print("eval: vggface identity embeddings active (AED)")
         print(evaluate_metrics(args.output_dir, args.target_dir,
                                lpips_apply=lpips_apply,
-                               embedding_apply=embedding_apply))
+                               embedding_apply=embedding_apply,
+                               pretrained_path=args.pretrained or "./pretrained"))
         return 0
     else:
         print(f"unknown command: {cmd}\n{__doc__}")

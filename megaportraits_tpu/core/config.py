@@ -90,6 +90,10 @@ class ModelConfig:
     # Emtn input resolutions; 0 = feed full resolution (parity mode).
     rotation_input_size: int = 224
     descriptor_input_size: int = 256
+    # Width/depth preset (core/arch.py): 'full' = reference sizes; 'tiny' =
+    # gate-sized graph for multi-chip dryruns/CI (every component kept,
+    # ~8x narrower, 1-block stages).
+    arch: str = "full"
     # 'reference' replicates the reference warp renormalization quirk
     # (model.py:1056-1058); 'standard' is textbook grid+flow.
     warp_normalize_mode: str = "reference"
@@ -126,6 +130,7 @@ class Config:
     def make_gbase(self, policy=None, remat: bool = False):
         """Construct Gbase from the model section (single source of truth
         for the parity-affecting knobs)."""
+        from megaportraits_tpu.core.arch import get_arch
         from megaportraits_tpu.core.dtypes import (
             DEFAULT_POLICY, FP32_POLICY,
         )
@@ -139,6 +144,7 @@ class Config:
             rotation_input_size=self.model.rotation_input_size,
             descriptor_input_size=self.model.descriptor_input_size,
             remat=remat,
+            arch=get_arch(self.model.arch),
         )
 
 

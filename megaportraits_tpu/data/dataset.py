@@ -354,8 +354,12 @@ class EMODataset:
         # (EmoDataset.py:50-61); every item returns frames from these.
         self.driving_video_ids: List[str] = []
         if driving_mode == "separate_video":
-            k = min(n_driving_videos, len(self.video_ids))
-            picks = self.rng.choice(len(self.video_ids), size=k, replace=False)
+            # The reference draws each shared driving video INDEPENDENTLY
+            # (random.choice twice, EmoDataset.py:50,57 — replacement
+            # possible), one for driving_frames and one for
+            # driving_frames_star; match that.
+            k = max(2, n_driving_videos)
+            picks = self.rng.choice(len(self.video_ids), size=k, replace=True)
             self.driving_video_ids = [self.video_ids[int(p)] for p in picks]
 
     def __len__(self) -> int:
@@ -440,11 +444,13 @@ class EMODataset:
         drv = main["driving_frames"]
         drv_star = star["driving_frames"]
         if self.driving_mode == "separate_video" and self.driving_video_ids:
-            # Shared driving clip(s) as in the reference (EmoDataset.py:325-330).
-            shared = self.load_and_process_video(
-                self.driving_video_ids[index % len(self.driving_video_ids)]
-            )
-            drv = drv_star = shared["driving_frames"]
+            # Shared driving clips as in the reference (EmoDataset.py:325-330):
+            # EVERY item returns the same init-picked clip pair — clip 0 for
+            # driving_frames, clip 1 for driving_frames_star.
+            drv = self.load_and_process_video(
+                self.driving_video_ids[0])["driving_frames"]
+            drv_star = self.load_and_process_video(
+                self.driving_video_ids[1])["driving_frames"]
         return {
             "video_id": video_id,
             "source_frames": main["source_frames"],

@@ -115,8 +115,12 @@ class FANLandmarkProvider:
         )
         lm = np.array(self._run(self.variables, inp[None]))[0]  # [68,2]
         scale = self._hm_size
-        lm[:, 0] = lm[:, 0] / scale * cw + x0
-        lm[:, 1] = lm[:, 1] / scale * ch + y0
+        # Map heatmap CELL CENTERS to image pixels (+0.5 before scaling):
+        # without the offset every landmark carries a systematic
+        # ~0.5-heatmap-pixel (~2px at 512^2) bias vs face_alignment/dlib
+        # outputs (advisor finding, round 2).
+        lm[:, 0] = (lm[:, 0] + 0.5) / scale * cw + x0
+        lm[:, 1] = (lm[:, 1] + 0.5) / scale * ch + y0
         return lm.astype(np.float64)
 
 

@@ -144,15 +144,67 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
 
 
+def make_eval_callables(pretrained_path: str):
+    """Build (lpips_apply, embedding_apply) from a converted-weight bundle
+    (scripts/convert_weights.py) and install the FAN landmark provider.
+
+    Returns (None, None) when no bundle exists at `pretrained_path`."""
+    import jax
+    import jax.numpy as jnp
+
+    from megaportraits_tpu.core.dtypes import FP32_POLICY
+    from megaportraits_tpu.data.landmarks import provider_from_bundle
+    from megaportraits_tpu.utils.pretrained import load_bundle
+    from megaportraits_tpu.utils.torch_convert import merge_params
+
+    bundle = load_bundle(pretrained_path) or {}
+    lpips_apply = embedding_apply = None
+    provider_from_bundle(pretrained_path)
+    if "vgg16" in bundle and "lpips_heads" in bundle:
+        from megaportraits_tpu.losses.perceptual import LPIPS
+
+        lp = LPIPS(policy=FP32_POLICY)
+        d = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        init = jax.jit(lp.init)(jax.random.PRNGKey(0), d, d)
+        merged = merge_params(
+            init["params"],
+            {"vgg16": bundle["vgg16"], **bundle["lpips_heads"]},
+        )
+        lpips_apply = jax.jit(lambda a, b: lp.apply({"params": merged}, a, b))
+    if "vggface" in bundle:
+        from megaportraits_tpu.losses.vggface import InceptionResnetV1
+        from megaportraits_tpu.ops.resize import linear_resize
+
+        face = InceptionResnetV1(policy=FP32_POLICY)
+        d = jnp.zeros((1, 160, 160, 3), jnp.float32)
+        init = jax.jit(face.init, static_argnums=2)(
+            jax.random.PRNGKey(0), d, False)
+        fmerged = merge_params(init["params"], bundle["vggface"])
+
+        def embedding_apply(img):
+            img = linear_resize(img, (160, 160), axes=(1, 2),
+                                align_corners=False)
+            return face.apply({"params": fmerged}, img * 2.0 - 1.0)
+
+    return lpips_apply, embedding_apply
+
+
 def evaluate_metrics(
-    output_dir: str, target_dir: str, lpips_apply=None, embedding_apply=None
+    output_dir: str, target_dir: str, lpips_apply=None, embedding_apply=None,
+    pretrained_path: str = "./pretrained",
 ) -> Dict[str, Optional[float]]:
     """Directory-level evaluation, mirroring reference metrics.py:61-102.
 
     AKD uses the installed landmark provider (68-point FAN when available);
     AED uses `embedding_apply` identity embeddings when given, else the
-    reference's landmark formula. Skips pairs with no detected face, like
-    the reference (metrics.py:31-34)."""
+    reference's landmark formula — the returned dict carries an
+    'AED_formula' key ('identity_embedding' | 'landmark_proxy') so the two
+    are never conflated downstream (advisor finding, round 2). When neither
+    callable is passed, a converted bundle at `pretrained_path` is
+    auto-installed (vggface AED embedding, LPIPS, FAN landmarks). Skips
+    pairs with no detected face, like the reference (metrics.py:31-34)."""
+    if lpips_apply is None and embedding_apply is None and pretrained_path:
+        lpips_apply, embedding_apply = make_eval_callables(pretrained_path)
     scores: Dict[str, list] = {k: [] for k in
                                ("L1", "LPIPS", "PSNR", "SSIM", "AKD", "AED")}
     for filename in sorted(os.listdir(output_dir)):
@@ -175,6 +227,11 @@ def evaluate_metrics(
         aed = calculate_aed(pred, target, embedding_apply)
         if aed is not None:
             scores["AED"].append(aed)
-    return {
+    out: Dict[str, Optional[float]] = {
         k: (float(np.mean(v)) if v else None) for k, v in scores.items()
     }
+    out["AED_formula"] = (
+        "identity_embedding" if embedding_apply is not None
+        else "landmark_proxy"
+    )
+    return out

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.layers import TorchConv
 
@@ -60,26 +61,35 @@ class VGG(nn.Module):
     cfg: str = "vgg19"
     taps: Sequence[Tuple[int, int]] = VGG19_REFERENCE_TAPS
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
+
+    def effective_taps(self) -> Sequence[Tuple[int, int]]:
+        """Taps after arch truncation (arch.vgg_stages: 0 = all)."""
+        if self.arch.vgg_stages:
+            return tuple(t for t in self.taps if t[0] < self.arch.vgg_stages)
+        return tuple(self.taps)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
         p = self.policy
+        a = self.arch
         convs_per_stage = VGG_CFGS[self.cfg]
-        taps = set(self.taps)
+        eff = self.effective_taps()
+        taps = set(eff)
         max_stage = max(s for s, _ in taps)
         outputs = {}
         for stage, n_convs in enumerate(convs_per_stage):
             if stage > max_stage:
                 break
             for i in range(n_convs):
-                x = TorchConv(VGG_WIDTHS[stage], (3, 3), padding=1, policy=p,
-                              name=f"conv{stage + 1}_{i + 1}")(x)
+                x = TorchConv(a.ch(VGG_WIDTHS[stage]), (3, 3), padding=1,
+                              policy=p, name=f"conv{stage + 1}_{i + 1}")(x)
                 x = nn.relu(x)
                 if (stage, i) in taps:
                     outputs[(stage, i)] = x
             if stage < len(convs_per_stage) - 1:
                 x = max_pool_2x2(x)
-        return [outputs[t] for t in self.taps]
+        return [outputs[t] for t in eff]
 
 
 class LPIPS(nn.Module):
@@ -87,6 +97,7 @@ class LPIPS(nn.Module):
     1x1 linear heads, spatial mean, summed over taps."""
 
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -96,7 +107,8 @@ class LPIPS(nn.Module):
         scale = jnp.asarray([0.458, 0.448, 0.450], dtype=jnp.float32)
         xs = (x.astype(jnp.float32) - shift) / scale
         ys = (y.astype(jnp.float32) - shift) / scale
-        net = VGG(cfg="vgg16", taps=LPIPS_TAPS, policy=p, name="vgg16")
+        net = VGG(cfg="vgg16", taps=LPIPS_TAPS, policy=p, arch=self.arch,
+                  name="vgg16")
         fx = net(p.cast_to_compute(xs))
         fy = net(p.cast_to_compute(ys))
         total = jnp.float32(0.0)
@@ -125,6 +137,7 @@ class PerceptualLoss(nn.Module):
     weights: Optional[Dict[str, float]] = None
     use_vggface: bool = False
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, predicted: jnp.ndarray, target: jnp.ndarray,
@@ -140,7 +153,7 @@ class PerceptualLoss(nn.Module):
         total = jnp.float32(0.0)
         if w.get("vgg19", 0.0) or use_fm_loss:
             net = VGG(cfg="vgg19", taps=VGG19_REFERENCE_TAPS, policy=p,
-                      name="vgg19")
+                      arch=self.arch, name="vgg19")
             fp = net(p.cast_to_compute(pred_n))
             ft = net(p.cast_to_compute(tgt_n))
             vgg_loss = sum(
@@ -172,7 +185,7 @@ class PerceptualLoss(nn.Module):
             )
             total = total + w["vggface"] * face_loss
         if w.get("lpips", 0.0):
-            lp = LPIPS(policy=p, name="lpips")(pred_n, tgt_n)
+            lp = LPIPS(policy=p, arch=self.arch, name="lpips")(pred_n, tgt_n)
             total = total + w["lpips"] * jnp.mean(lp)
         # Reference gaze slot: constant contribution (model.py:1971).
         total = total + jnp.float32(w.get("gaze", 0.0))

@@ -11,20 +11,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.layers import InstanceNorm, TorchConv
 
 
 class Discriminator(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, img_a: jnp.ndarray, img_b: jnp.ndarray) -> jnp.ndarray:
         p = self.policy
+        a = self.arch
         x = jnp.concatenate(
             [p.cast_to_compute(img_a), p.cast_to_compute(img_b)], axis=-1
         )
-        for i, ch in enumerate([64, 128, 256, 512]):
+        chans = [a.ch(64 * 2 ** i) if a.width_div > 1 else 64 * 2 ** i
+                 for i in range(a.disc_stages)]
+        for i, ch in enumerate(chans):
             x = TorchConv(ch, (4, 4), strides=2, padding=1, policy=p,
                           name=f"block{i}_conv")(x)
             if i > 0:

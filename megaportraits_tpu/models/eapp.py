@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.blocks import ResBlockCustom, ResBlock3DAdaptive
 from megaportraits_tpu.nn.layers import GroupNorm32, TorchConv, TorchDense
@@ -28,38 +29,42 @@ VOLUME_CHANNELS = 96
 
 class Eapp(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         p = self.policy
+        a = self.arch
         x = p.cast_to_compute(x)
 
-        out = TorchConv(64, (7, 7), padding=3, policy=p, name="conv")(x)
-        out = ResBlockCustom(2, 128, policy=p, name="resblock_128")(out)
+        out = TorchConv(a.ch(64), (7, 7), padding=3, policy=p, name="conv")(x)
+        out = ResBlockCustom(2, a.ch(128), policy=p, name="resblock_128")(out)
         out = avg_pool_2d(out)
-        out = ResBlockCustom(2, 256, policy=p, name="resblock_256")(out)
+        out = ResBlockCustom(2, a.ch(256), policy=p, name="resblock_256")(out)
         out = avg_pool_2d(out)
-        out = ResBlockCustom(2, 512, policy=p, name="resblock_512")(out)
+        out = ResBlockCustom(2, a.ch(512), policy=p, name="resblock_512")(out)
         out = avg_pool_2d(out)
 
         out = GroupNorm32()(out)
         out = nn.relu(out)
-        out = TorchConv(1536, (1, 1), policy=p, name="conv_1")(out)
+        vol_c, vol_d = a.volume_channels, a.volume_depth
+        out = TorchConv(vol_c * vol_d, (1, 1), policy=p, name="conv_1")(out)
 
         # reshape 1536 -> C96 x D16 (torch view(B,96,16,H,W) splits channels
         # with depth minor; NHWC [..,1536] -> [..,96,16] matches) then to
         # NDHWC [B, 16, H, W, 96].
         b, h, w, _ = out.shape
-        vs = out.reshape(b, h, w, VOLUME_CHANNELS, VOLUME_DEPTH)
+        vs = out.reshape(b, h, w, vol_c, vol_d)
         vs = jnp.transpose(vs, (0, 4, 1, 2, 3))
 
-        for rnd in range(3):
-            vs = ResBlock3DAdaptive(VOLUME_CHANNELS, policy=p,
+        for rnd in range(a.eapp_rounds3d):
+            vs = ResBlock3DAdaptive(vol_c, policy=p,
                                     name=f"resblock3D_96_r{rnd}_a")(vs)
-            vs = ResBlock3DAdaptive(VOLUME_CHANNELS, policy=p,
+            vs = ResBlock3DAdaptive(vol_c, policy=p,
                                     name=f"resblock3D_96_r{rnd}_b")(vs)
 
-        es_feat = CustomResNet50(policy=p, name="custom_resnet50")(x, train)
+        es_feat = CustomResNet50(policy=p, arch=a,
+                                 name="custom_resnet50")(x, train)
         es = es_feat.reshape(b, -1)  # [B, 2*2*512] = [B, 2048]
-        es = TorchDense(COMPRESS_DIM, policy=p, name="fc")(es)
+        es = TorchDense(a.compress_dim, policy=p, name="fc")(es)
         return vs, es

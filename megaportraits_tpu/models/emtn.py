@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.models.repvgg import SixDRepNet
 from megaportraits_tpu.models.resnet import ResNet18, _ResNetTrunk, BasicBlock
@@ -28,6 +29,7 @@ COMPRESS_DIM = 512
 
 class Emtn(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
     # The frozen SixDRepNet was trained at 224x224 (its detector pipeline
     # resizes to 224, mysixdrepnet.py:798-801, though the reference's
     # predict() skips the transform and feeds raw 512 crops). Feeding the
@@ -46,6 +48,7 @@ class Emtn(nn.Module):
         from megaportraits_tpu.ops.resize import linear_resize
 
         p = self.policy
+        a = self.arch
         x = p.cast_to_compute(x)
 
         def maybe_resize(img, s):
@@ -56,21 +59,21 @@ class Emtn(nn.Module):
 
         # Frozen head-pose rotation (SixDRepNet, deploy-mode RepVGG-B1g2).
         rot_in = maybe_resize(x, self.rotation_input_size)
-        _, euler_deg = SixDRepNet(policy=p, name="rotation_net")(rot_in, False)
+        _, euler_deg = SixDRepNet(policy=p, arch=a,
+                                  name="rotation_net")(rot_in, False)
         rotation = jax.lax.stop_gradient(euler_deg)
         x = maybe_resize(x, self.descriptor_input_size)
 
         # Translation from the resnet18 'head pose' net (fc -> 6, keep [3:]).
-        head_pose = ResNet18(num_classes=6, policy=p, name="head_pose_net")(
-            x, train
-        )
+        head_pose = ResNet18(num_classes=6, policy=p, arch=a,
+                             name="head_pose_net")(x, train)
         translation = head_pose[:, 3:].astype(jnp.float32)
 
         # Expression descriptor.
-        feats = _ResNetTrunk(BasicBlock, (2, 2, 2, 2), policy=p,
+        feats = _ResNetTrunk(BasicBlock, a.resnet18_layers, policy=p, arch=a,
                              name="expression_net")(x, train)
         pooled = jnp.mean(feats, axis=(1, 2))  # trunk global pool (1x1)
         tiled = jnp.tile(pooled[:, None, :], (1, 4, 1))  # 2x2 adaptive pool
         flat = tiled.reshape(x.shape[0], -1)  # [B, 2048]
-        expression = TorchDense(COMPRESS_DIM, policy=p, name="fc")(flat)
+        expression = TorchDense(a.compress_dim, policy=p, name="fc")(flat)
         return rotation, translation, expression.astype(jnp.float32)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.blocks import ResBlock2D
 from megaportraits_tpu.nn.layers import GroupNorm32, TorchConv
@@ -23,6 +24,7 @@ def _up2(x):
 
 class G2d(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
     # Run the 8-block 512-channel trunk as ONE fused Pallas kernel at
     # inference (ops/pallas/g2d_chain_v2) — activations never leave VMEM
     # between blocks. Opt-in; batch is processed per-sample.
@@ -31,9 +33,11 @@ class G2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.policy
-        x = TorchConv(1536, (1, 1), policy=p, name="reshape_conv")(x)
-        x = TorchConv(512, (1, 1), policy=p, name="conv1x1")(x)
-        trunk = [ResBlock2D(512, policy=p, name=f"res{i}") for i in range(8)]
+        a = self.arch
+        x = TorchConv(a.ch(1536), (1, 1), policy=p, name="reshape_conv")(x)
+        x = TorchConv(a.ch(512), (1, 1), policy=p, name="conv1x1")(x)
+        trunk = [ResBlock2D(a.ch(512), policy=p, name=f"res{i}")
+                 for i in range(a.g2d_blocks)]
         chain_ok = (
             self.use_chain_kernel and not train
             and not self.is_initializing()
@@ -64,11 +68,11 @@ class G2d(nn.Module):
             for blk in trunk:
                 x = blk(x, train)
         x = _up2(x)
-        x = ResBlock2D(256, policy=p, name="up1")(x, train)
+        x = ResBlock2D(a.ch(256), policy=p, name="up1")(x, train)
         x = _up2(x)
-        x = ResBlock2D(128, policy=p, name="up2")(x, train)
+        x = ResBlock2D(a.ch(128), policy=p, name="up2")(x, train)
         x = _up2(x)
-        x = ResBlock2D(64, policy=p, name="up3")(x, train)
+        x = ResBlock2D(a.ch(64), policy=p, name="up3")(x, train)
         x = GroupNorm32()(x)
         x = nn.relu(x)
         x = TorchConv(3, (3, 3), padding=1, policy=p, name="final_conv")(x)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.blocks import ResBlock3D
 from megaportraits_tpu.nn.layers import TorchConv
@@ -24,22 +25,22 @@ def _up2(x):
 
 class G3d(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.policy
-        x = ResBlock3D(96, policy=p, name="down1")(x)
-        x = avg_pool_3d(x)
-        x = ResBlock3D(192, policy=p, name="down2")(x)
-        x = avg_pool_3d(x)
-        x = ResBlock3D(384, policy=p, name="down3")(x)
-        x = avg_pool_3d(x)
-        x = ResBlock3D(768, policy=p, name="down4")(x)
-
-        x = ResBlock3D(384, policy=p, name="up1")(x)
-        x = _up2(x)
-        x = ResBlock3D(192, policy=p, name="up2")(x)
-        x = _up2(x)
-        x = ResBlock3D(96, policy=p, name="up3")(x)
-        x = _up2(x)
-        return TorchConv(96, (3, 3, 3), padding=1, policy=p, name="final_conv")(x)
+        a = self.arch
+        stages = a.g3d_stages  # reference: 3 pools, widths 96..768
+        chans = [a.ch(a.volume_channels * 2 ** i) if a.width_div > 1
+                 else a.volume_channels * 2 ** i
+                 for i in range(stages + 1)]
+        x = ResBlock3D(chans[0], policy=p, name="down1")(x)
+        for i in range(1, stages + 1):
+            x = avg_pool_3d(x)
+            x = ResBlock3D(chans[i], policy=p, name=f"down{i + 1}")(x)
+        for j, i in enumerate(range(stages - 1, -1, -1)):
+            x = ResBlock3D(chans[i], policy=p, name=f"up{j + 1}")(x)
+            x = _up2(x)
+        return TorchConv(a.volume_channels, (3, 3, 3), padding=1, policy=p,
+                         name="final_conv")(x)

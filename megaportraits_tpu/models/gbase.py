@@ -24,6 +24,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.models.eapp import Eapp
 from megaportraits_tpu.models.emtn import Emtn
@@ -56,6 +57,8 @@ class Gbase(nn.Module):
     # for any reference-checkpoint parity measurement.
     rotation_input_size: int = 224
     descriptor_input_size: int = 256
+    # Width/depth scale preset (core/arch.py); FULL = the reference sizes.
+    arch: Arch = FULL
 
     def setup(self):
         mode = self.remat
@@ -72,16 +75,19 @@ class Gbase(nn.Module):
             emtn_cls = nn.remat(Emtn, static_argnums=(2,))
             g3d_cls = nn.remat(G3d)
             warp_cls = nn.remat(WarpGenerator)
-        self.appearance_encoder = eapp_cls(policy=self.policy)
+        self.appearance_encoder = eapp_cls(policy=self.policy, arch=self.arch)
         self.motion_encoder = emtn_cls(
             policy=self.policy,
             rotation_input_size=self.rotation_input_size,
             descriptor_input_size=self.descriptor_input_size,
+            arch=self.arch,
         )
-        self.warp_generator_s2c = warp_cls(invert=True, policy=self.policy)
-        self.warp_generator_c2d = warp_cls(invert=False, policy=self.policy)
-        self.g3d = g3d_cls(policy=self.policy)
-        self.g2d = g2d_cls(policy=self.policy)
+        self.warp_generator_s2c = warp_cls(invert=True, policy=self.policy,
+                                           arch=self.arch)
+        self.warp_generator_c2d = warp_cls(invert=False, policy=self.policy,
+                                           arch=self.arch)
+        self.g3d = g3d_cls(policy=self.policy, arch=self.arch)
+        self.g2d = g2d_cls(policy=self.policy, arch=self.arch)
 
     def __call__(
         self, xs: jnp.ndarray, xd: jnp.ndarray, train: bool = False
@@ -108,6 +114,9 @@ class Gbase(nn.Module):
 
     def encode_motion(self, x: jnp.ndarray, train: bool = False):
         return self.motion_encoder(x, train)
+
+    def encode_appearance(self, x: jnp.ndarray, train: bool = False):
+        return self.appearance_encoder(x, train)
 
     def encode_source(self, xs: jnp.ndarray, train: bool = False):
         """One-time source encoding for streaming reenactment.

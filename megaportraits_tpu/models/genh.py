@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.models.gbase import Gbase
 from megaportraits_tpu.nn.blocks import ResBlock2D
@@ -30,27 +31,31 @@ def _up2(x):
 
 class Genh(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.policy
+        a = self.arch
+        c = a.ch(64)
+        n_mid = 8 if a.width_div <= 1 else a.g2d_blocks
         x = p.cast_to_compute(x)
-        x = TorchConv(64, (7, 7), padding=3, policy=p, name="enc_conv")(x)
-        x = ResBlock2D(64, policy=p, name="enc_res0")(x, train)
+        x = TorchConv(c, (7, 7), padding=3, policy=p, name="enc_conv")(x)
+        x = ResBlock2D(c, policy=p, name="enc_res0")(x, train)
         x = avg_pool_2d(x)
-        x = ResBlock2D(64, policy=p, name="enc_res1")(x, train)
+        x = ResBlock2D(c, policy=p, name="enc_res1")(x, train)
         x = avg_pool_2d(x)
-        x = ResBlock2D(64, policy=p, name="enc_res2")(x, train)
+        x = ResBlock2D(c, policy=p, name="enc_res2")(x, train)
         x = avg_pool_2d(x)
-        x = ResBlock2D(64, policy=p, name="enc_res3")(x, train)
-        for i in range(8):
-            x = ResBlock2D(64, policy=p, name=f"mid_res{i}")(x, train)
+        x = ResBlock2D(c, policy=p, name="enc_res3")(x, train)
+        for i in range(n_mid):
+            x = ResBlock2D(c, policy=p, name=f"mid_res{i}")(x, train)
         x = _up2(x)
-        x = ResBlock2D(64, policy=p, name="dec_res0")(x, train)
+        x = ResBlock2D(c, policy=p, name="dec_res0")(x, train)
         x = _up2(x)
-        x = ResBlock2D(64, policy=p, name="dec_res1")(x, train)
+        x = ResBlock2D(c, policy=p, name="dec_res1")(x, train)
         x = _up2(x)
-        x = ResBlock2D(64, policy=p, name="dec_res2")(x, train)
+        x = ResBlock2D(c, policy=p, name="dec_res2")(x, train)
         x = TorchConv(3, (7, 7), padding=3, policy=p, name="dec_conv")(x)
         return jnp.tanh(x.astype(jnp.float32))
 
@@ -60,12 +65,14 @@ class GHR(nn.Module):
 
     policy: Policy = DEFAULT_POLICY
     warp_normalize_mode: str = "reference"
+    arch: Arch = FULL
 
     def setup(self):
         self.gbase = Gbase(
-            policy=self.policy, warp_normalize_mode=self.warp_normalize_mode
+            policy=self.policy, warp_normalize_mode=self.warp_normalize_mode,
+            arch=self.arch,
         )
-        self.genh = Genh(policy=self.policy)
+        self.genh = Genh(policy=self.policy, arch=self.arch)
 
     def __call__(self, xs: jnp.ndarray, xd: jnp.ndarray, train: bool = False):
         xhat_base, _ = self.gbase(xs, xd, train)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.layers import TorchConv, TorchDense
 
@@ -130,21 +131,24 @@ class RepVGG(nn.Module):
     name_or_cfg: str = "RepVGG-B1g2"
     deploy: bool = True
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        a = self.arch
         cfg = REPVGG_CONFIGS[self.name_or_cfg]
         widths = cfg["widths"]
-        in_planes = min(64, int(64 * widths[0]))
+        blocks = a.repvgg_blocks or cfg["blocks"]
+        in_planes = a.ch(min(64, int(64 * widths[0])))
         gmap = (
             {l: cfg["g"] for l in _OPTIONAL_GROUPWISE_LAYERS} if cfg["g"] else {}
         )
         x = RepVGGBlock(in_planes, stride=2, deploy=self.deploy,
                         policy=self.policy, name="stage0")(x, train)
         layer_idx = 1
-        stage_planes = [int(64 * widths[0]), int(128 * widths[1]),
-                        int(256 * widths[2]), int(512 * widths[3])]
-        for stage, (planes, n) in enumerate(zip(stage_planes, cfg["blocks"])):
+        stage_planes = [a.ch(int(64 * widths[0])), a.ch(int(128 * widths[1])),
+                        a.ch(int(256 * widths[2])), a.ch(int(512 * widths[3]))]
+        for stage, (planes, n) in enumerate(zip(stage_planes, blocks)):
             for i in range(n):
                 stride = 2 if i == 0 else 1
                 groups = gmap.get(layer_idx, 1)
@@ -198,11 +202,12 @@ class SixDRepNet(nn.Module):
     backbone: str = "RepVGG-B1g2"
     deploy: bool = True
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = RepVGG(self.backbone, deploy=self.deploy, policy=self.policy,
-                       name="trunk")(x, train)
+                       arch=self.arch, name="trunk")(x, train)
         pooled = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
         six = TorchDense(6, policy=self.policy, name="linear_reg")(pooled)
         rot = rotation_6d_to_matrix(six.astype(jnp.float32))

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.layers import TorchConv, TorchDense
 
@@ -127,15 +128,17 @@ class _ResNetTrunk(nn.Module):
     layers: Sequence[int]
     num_stages: int = 4
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(64, (7, 7), strides=2, padding=3, use_bias=False,
+        a = self.arch
+        x = TorchConv(a.ch(64), (7, 7), strides=2, padding=3, use_bias=False,
                       policy=self.policy, name="conv1")(x)
         x = _BN(self.policy, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
-        planes = [64, 128, 256, 512]
+        planes = [a.ch(64), a.ch(128), a.ch(256), a.ch(512)]
         for stage in range(self.num_stages):
             stride = 1 if stage == 0 else 2
             for i in range(self.layers[stage]):
@@ -153,10 +156,12 @@ class ResNet18(nn.Module):
 
     num_classes: int = 1000
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _ResNetTrunk(BasicBlock, (2, 2, 2, 2), policy=self.policy,
+        x = _ResNetTrunk(BasicBlock, self.arch.resnet18_layers,
+                         policy=self.policy, arch=self.arch,
                          name="trunk")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         if self.num_classes:
@@ -167,10 +172,12 @@ class ResNet18(nn.Module):
 class ResNet50(nn.Module):
     num_classes: int = 1000
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _ResNetTrunk(Bottleneck, (3, 4, 6, 3), policy=self.policy,
+        x = _ResNetTrunk(Bottleneck, self.arch.resnet50_layers,
+                         policy=self.policy, arch=self.arch,
                          name="trunk")(x, train)
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes:
@@ -186,11 +193,14 @@ class CustomResNet50(nn.Module):
     """
 
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _ResNetTrunk(Bottleneck, (3, 4, 6), num_stages=3,
-                         policy=self.policy, name="trunk")(x, train)
+        a = self.arch
+        x = _ResNetTrunk(Bottleneck, a.resnet50_layers[:3], num_stages=3,
+                         policy=self.policy, arch=a, name="trunk")(x, train)
         x = adaptive_avg_pool_2d(x, (2, 2))
-        x = TorchConv(512, (1, 1), policy=self.policy, name="conv_reduce")(x)
+        x = TorchConv(a.ch(512), (1, 1), policy=self.policy,
+                      name="conv_reduce")(x)
         return x

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from megaportraits_tpu.core.arch import Arch, FULL
 from megaportraits_tpu.core.dtypes import Policy, DEFAULT_POLICY
 from megaportraits_tpu.nn.blocks import ResBlock3DAdaptive
 from megaportraits_tpu.nn.layers import AffineGroupNorm, TorchConv
@@ -28,26 +29,29 @@ COMPRESS_DIM = 512
 
 class FlowField(nn.Module):
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(self, z_sum: jnp.ndarray) -> jnp.ndarray:
         p = self.policy
+        a = self.arch
+        cdim = a.compress_dim
         # [B,512] == the reference's [B,512,1,1] for a 1x1 conv.
-        x = TorchConv(2048, (1, 1), policy=p, name="conv1x1")(
+        x = TorchConv(cdim * 4, (1, 1), policy=p, name="conv1x1")(
             z_sum[:, None, None, :]
         )  # [B,1,1,2048]
         # torch view(-1, 512, 4, 1, 1): channel-major 512, depth minor 4.
         b = x.shape[0]
-        x = x.reshape(b, 1, 1, 512, 4)
+        x = x.reshape(b, 1, 1, cdim, 4)
         x = jnp.transpose(x, (0, 4, 1, 2, 3))  # [B,4,1,1,512] (D,H,W,C)
 
-        x = ResBlock3DAdaptive(256, policy=p, name="resblock1")(x)
+        x = ResBlock3DAdaptive(a.ch(256), policy=p, name="resblock1")(x)
         x = upsample_nearest(x, (2, 2, 2), axes=(1, 2, 3))
-        x = ResBlock3DAdaptive(128, policy=p, name="resblock2")(x)
+        x = ResBlock3DAdaptive(a.ch(128), policy=p, name="resblock2")(x)
         x = upsample_nearest(x, (2, 2, 2), axes=(1, 2, 3))
-        x = ResBlock3DAdaptive(64, policy=p, name="resblock3")(x)
+        x = ResBlock3DAdaptive(a.ch(64), policy=p, name="resblock3")(x)
         x = upsample_nearest(x, (1, 2, 2), axes=(1, 2, 3))
-        x = ResBlock3DAdaptive(32, policy=p, name="resblock4")(x)
+        x = ResBlock3DAdaptive(a.ch(32), policy=p, name="resblock4")(x)
         x = upsample_nearest(x, (1, 2, 2), axes=(1, 2, 3))
 
         x = TorchConv(3, (3, 3, 3), padding=1, policy=p, name="conv3x3x3")(x)
@@ -61,8 +65,9 @@ class WarpGenerator(nn.Module):
     """S2C (invert=True) / C2D (invert=False) warp generator."""
 
     invert: bool
-    grid_size: int = 64
+    grid_size: int = 0  # 0 = use arch.grid_size (reference: 64)
     policy: Policy = DEFAULT_POLICY
+    arch: Arch = FULL
 
     @nn.compact
     def __call__(
@@ -73,25 +78,26 @@ class WarpGenerator(nn.Module):
         e: jnp.ndarray,  # [B,512] appearance descriptor
     ) -> jnp.ndarray:
         p = self.policy
+        grid_size = self.grid_size or self.arch.grid_size
         adaptive_matrix = self.param(
             "adaptive_matrix_gamma",
             nn.initializers.normal(stddev=1.0),  # torch.randn (model.py:934)
-            (COMPRESS_DIM, COMPRESS_DIM),
+            (self.arch.compress_dim, self.arch.compress_dim),
             p.param_dtype,
         )
         z_sum = (z + e).astype(p.compute_dtype)
         z_sum = z_sum @ adaptive_matrix.astype(p.compute_dtype)
 
-        w_em = FlowField(policy=p, name="flowfield")(z_sum)
+        w_em = FlowField(policy=p, arch=self.arch, name="flowfield")(z_sum)
         w_rt = compute_rt_warp(
             rotation.astype(jnp.float32),
             translation.astype(jnp.float32),
             invert=self.invert,
-            grid_size=self.grid_size,
+            grid_size=grid_size,
         )  # [B, 64, 64, 64, 3] float32
         w_em = linear_resize(
             w_em.astype(jnp.float32),
-            (self.grid_size,) * 3,
+            (grid_size,) * 3,
             axes=(1, 2, 3),
             align_corners=False,
         )

@@ -139,14 +139,14 @@ def fused_resblock_chain(
         out_shape=jax.ShapeDtypeStruct((h, x_size, c), x.dtype),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # weights stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # weights stay in HBM
             pl.BlockSpec((1, 2, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((h + 2, x_size, c), x.dtype),  # A (padded)
             pltpu.VMEM((h + 2, x_size, c), x.dtype),  # B (padded)

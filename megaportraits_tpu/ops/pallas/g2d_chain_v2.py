@@ -252,14 +252,14 @@ def fused_resblock_chain_v2(
         out_shape=jax.ShapeDtypeStruct((h, x_size, c), x.dtype),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # weights stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # weights stay in HBM
             pl.BlockSpec((1, 2, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, c), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((h + 4, x_size, c), x.dtype),   # A (2-row halos)
             pltpu.VMEM((hs, x_size, c), x.dtype),      # h strip ping

@@ -65,7 +65,18 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
             f"mesh shape {shape} does not match {len(devices)} devices"
         )
     else:
+        requested = dict(shape)
         shape = fit_mesh_shape(shape, len(devices))
+        if shape != requested:
+            # A production misconfiguration silently running at reduced
+            # parallelism must be visible (advisor finding, round 2).
+            import warnings
+
+            warnings.warn(
+                f"mesh shape {requested} adapted to {shape} for "
+                f"{len(devices)} visible devices",
+                stacklevel=2,
+            )
     axis_names = tuple(shape.keys())
     dims = tuple(shape.values())
     dev_array = np.asarray(devices).reshape(dims)

@@ -27,11 +27,24 @@ from megaportraits_tpu.utils.logging import MetricsWriter
 
 
 def train_hr(cfg: Config, max_steps: int | None = None,
-             gbase_ckpt: str | None = None, upscale: int = 2) -> dict:
+             gbase_ckpt: str | None = None, upscale: int = 2,
+             native_hr: bool = True) -> dict:
+    """Stage-2 Genh training.
+
+    With ``native_hr`` (default) and ``upscale > 1``, frames are DECODED at
+    the HR resolution (size * upscale) and the driving frame at native
+    resolution is the supervised target, while Gbase consumes anti-aliased
+    downsamples — real super-resolution supervision (the junk clips are
+    512^2 native, so a 256-base -> 512-HR run needs no new data; reference
+    train_highres.py:297-364 assumes a 1024 dataset it never had). With
+    ``native_hr=False`` the old placeholder path (nearest-upsampled driving
+    frame as target) is kept for schema compatibility.
+    """
     policy = DEFAULT_POLICY if cfg.training.use_bf16 else FP32_POLICY
     mesh = make_mesh(cfg.training.mesh_shape)
     rng = jax.random.PRNGKey(cfg.training.seed)
     size = cfg.data.train_width
+    native_hr = native_hr and upscale > 1
 
     gbase = Gbase(policy=policy)
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
@@ -48,8 +61,9 @@ def train_hr(cfg: Config, max_steps: int | None = None,
                 gbase_vars = restored["g_variables"]
                 break
 
+    decode_size = size * upscale if native_hr else size
     dataset = EMODataset(
-        width=size, height=size,
+        width=decode_size, height=decode_size,
         n_sample_frames=cfg.training.n_sample_frames,
         sample_rate=cfg.training.sample_rate,
         video_dir=cfg.training.video_dir,
@@ -68,13 +82,28 @@ def train_hr(cfg: Config, max_steps: int | None = None,
     ckpt = CheckpointManager(cfg.training.checkpoint_path)
     writer = MetricsWriter("runs/hr_logs")
 
+    def _downsample(frames: np.ndarray) -> np.ndarray:
+        """Anti-aliased host-side downsample [B, H, W, 3] -> base size."""
+        import cv2
+
+        return np.stack([
+            cv2.resize(f, (size, size), interpolation=cv2.INTER_AREA)
+            for f in frames
+        ])
+
     def hr_batches():
         for batch in dataset.frame_batches(cfg.training.batch_size,
                                            cfg.training.frame_offset,
                                            seed=cfg.training.seed):
-            # HR target: the driving frame upsampled to the HR canvas (the
-            # overfit harness has no real 1024 ground truth; with a 1024
-            # dataset, plug the native frames in here).
+            if native_hr:
+                # REAL super-resolution supervision: native-resolution
+                # driving frame is the target; Gbase sees anti-aliased
+                # base-size downsamples.
+                yield {"source": _downsample(batch["source"]),
+                       "driving": _downsample(batch["driving"]),
+                       "target_hr": batch["driving"]}
+                continue
+            # Placeholder path: nearest-upsampled driving frame as target.
             target = batch["driving"]
             if upscale != 1:
                 target = np.repeat(np.repeat(target, upscale, 1), upscale, 2)
@@ -105,9 +134,14 @@ def main():
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--gbase-ckpt", default=None)
     parser.add_argument("--upscale", type=int, default=2)
+    parser.add_argument(
+        "--synthetic-targets", action="store_true",
+        help="use the legacy nearest-upsampled targets instead of "
+             "native-resolution decode",
+    )
     args = parser.parse_args()
     train_hr(load_config(args.config), args.max_steps, args.gbase_ckpt,
-             args.upscale)
+             args.upscale, native_hr=not args.synthetic_targets)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,27 @@ from megaportraits_tpu.ops.resize import linear_resize
 from megaportraits_tpu.train.state import TrainState, make_optimizer
 
 
+def _fill_from_shapes(shapes: Any) -> Any:
+    """Materialize a ShapeDtypeStruct tree with deterministic host values."""
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    leaves = []
+    for path, s in flat:
+        keys = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "var" in keys:
+            arr = np.ones(s.shape, dtype=s.dtype)
+        elif "mean" in keys or "bias" in keys:
+            arr = np.zeros(s.shape, dtype=s.dtype)
+        else:
+            import zlib
+
+            rng = np.random.default_rng(zlib.crc32(keys.encode()))
+            arr = rng.normal(0.0, 0.02, s.shape).astype(s.dtype)
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class BaseTrainer(NamedTuple):
     """Bundled modules + jitted step for stage-1 training."""
 
@@ -57,6 +78,7 @@ def init_states(
     policy: Policy = DEFAULT_POLICY,
     image_size: Optional[int] = None,
     remat_mode: Optional[str] = None,
+    fast_init: bool = False,
 ) -> Tuple[Gbase, Discriminator, PerceptualLoss, Any, TrainState, TrainState]:
     size = image_size or cfg.data.train_width
     # remat the heavy submodules: without it the fused multi-forward
@@ -65,19 +87,33 @@ def init_states(
     # FLOPs than blanket remat (benchmarks/RESULTS.md round 2).
     if remat_mode is None:
         remat_mode = "selective" if size >= 256 else "none"
+    from megaportraits_tpu.core.arch import get_arch
+
+    arch = get_arch(cfg.model.arch)
     gbase = cfg.make_gbase(policy=policy, remat=remat_mode)
-    disc = Discriminator(policy=policy)
+    disc = Discriminator(policy=policy, arch=arch)
     ploss = PerceptualLoss(
         weights={"vgg19": 20.0, "vggface": 4.0, "gaze": 5.0, "lpips": 10.0},
         policy=policy,
+        arch=arch,
     )
     k_g, k_d, k_p = jax.random.split(rng, 3)
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
-    # jit the inits: eager init dispatches thousands of individual ops —
-    # pathological through the axon tunnel (~28 ms RTT per dispatch).
-    g_vars = jax.jit(gbase.init)(k_g, dummy, dummy)
-    d_vars = jax.jit(disc.init)(k_d, dummy, dummy)
-    p_vars = jax.jit(ploss.init)(k_p, dummy, dummy)
+    if fast_init:
+        # Shape-only init (jax.eval_shape traces, never compiles) with a
+        # deterministic host-side fill — for compile gates/CI where the
+        # init DISTRIBUTION is irrelevant but a ~minute of init compile on
+        # a 1-core host is the budget. Running-var leaves are filled with
+        # ones (rsqrt of a negative variance would poison eval-mode BN).
+        g_vars = _fill_from_shapes(jax.eval_shape(gbase.init, k_g, dummy, dummy))
+        d_vars = _fill_from_shapes(jax.eval_shape(disc.init, k_d, dummy, dummy))
+        p_vars = _fill_from_shapes(jax.eval_shape(ploss.init, k_p, dummy, dummy))
+    else:
+        # jit the inits: eager init dispatches thousands of individual ops —
+        # pathological through the axon tunnel (~28 ms RTT per dispatch).
+        g_vars = jax.jit(gbase.init)(k_g, dummy, dummy)
+        d_vars = jax.jit(disc.init)(k_d, dummy, dummy)
+        p_vars = jax.jit(ploss.init)(k_p, dummy, dummy)
 
     # Converted pretrained weights (frozen loss backbones + SixDRepNet +
     # resnet18 trunks) — loaded when a bundle exists at pretrained_path.
@@ -86,8 +122,9 @@ def init_states(
     g_vars, p_vars, msg = maybe_load_pretrained(
         cfg.training.pretrained_path, g_vars, p_vars
     )
-    if "leaves" in msg:
-        print(msg)
+    # Always surface the graft report: a missing/mistyped pretrained_path
+    # means every frozen loss backbone runs RANDOM — that must be visible.
+    print(msg)
 
     steps_per_epoch = cfg.training.steps_per_epoch or 1
     total_steps = cfg.training.base_epochs * steps_per_epoch
@@ -159,6 +196,22 @@ def make_train_step(
 
         # ------------------------------------------------------------------
         # Generator loss (captures everything that needs G gradients).
+        #
+        # TPU-first redesign: the reference re-runs whole networks for every
+        # auxiliary loss term (train.py:269,283,289-293 — ~10 extra
+        # forwards/step). Here every auxiliary pass rides ONE batched
+        # application of each sub-network instead:
+        #   * appearance encoder once on [xs; xs_star],
+        #   * motion encoder once on [xs; xd; xs_next; xs_star; xd_star]
+        #     and once on the predictions [xhat; xhat_star],
+        #   * the synthesis trunk once on the 4 stacked descriptor mixes
+        #     (main, cross-reenactment, pairwise-pose, pairwise-exp).
+        # Same math on the same inputs; the only deviation from per-call
+        # semantics is that train-mode BatchNorm statistics are computed
+        # over the concatenated batches (the reference computes them per
+        # forward call) — larger-batch statistics, documented here.
+        # Cuts compiled graph size ~3x and removes ~6 redundant encoder
+        # runs per step.
         # ------------------------------------------------------------------
         def g_loss_fn(g_params):
             variables = {"params": g_params}
@@ -168,14 +221,58 @@ def make_train_step(
             mutable = (
                 ["batch_stats"] if g_state.batch_stats is not None else False
             )
-            if mutable:
-                (xhat, pyramids), new_vars = gbase.apply(
-                    variables, xs, xd, True, mutable=mutable
-                )
-                new_stats = new_vars.get("batch_stats")
-            else:
-                xhat, pyramids = gbase.apply(variables, xs, xd, True)
-                new_stats = g_state.batch_stats
+            new_stats = g_state.batch_stats
+
+            def run(*args, method=None):
+                nonlocal new_stats
+                out = gbase.apply(variables, *args, method=method,
+                                  mutable=mutable)
+                if mutable:
+                    out, new_vars = out
+                    new_stats = new_vars.get("batch_stats")
+                return out
+
+            b = xs.shape[0]
+
+            def split(x, n):
+                return [x[i * b:(i + 1) * b] for i in range(n)]
+
+            # Appearance: [xs; xs_star] in one pass.
+            vs_all, es_all = run(
+                jnp.concatenate([xs, xs_star], 0), True,
+                method=Gbase.encode_appearance,
+            )
+            (vs_s, vs_star), (es_s, es_star) = split(vs_all, 2), split(es_all, 2)
+
+            # Motion: all five source images in one pass.
+            r_all, t_all, z_all = run(
+                jnp.concatenate([xs, xd, xs_next, xs_star, xd_star], 0), True,
+                method=Gbase.encode_motion,
+            )
+            rs, rd, rn, rst, _ = split(r_all, 5)
+            ts, td, tn, tst, _ = split(t_all, 5)
+            zs, zd, zn, zst, zd_star = split(z_all, 5)
+
+            # Synthesis: 4 descriptor mixes in one pass —
+            #   [0] main reenactment   (xs appearance, xs->xd motion)
+            #   [1] cross-reenactment  (xs_star appearance, xs_star->xd)
+            #   [2] pairwise I_pose    (pose of xs_next, expression of xs)
+            #   [3] pairwise I_exp     (pose of xs, expression of xs_next)
+            # Mixes [2]/[3] feed the same descriptors to both warp
+            # generators, as the reference does (model.py:2190-2218).
+            cat = lambda parts: jnp.concatenate(parts, 0)
+            out = run(
+                cat([vs_s, vs_star, vs_s, vs_s]),
+                cat([es_s, es_star, es_s, es_s]),
+                cat([rs, rst, rn, rs]), cat([ts, tst, tn, ts]),
+                cat([zs, zst, zs, zn]),
+                cat([rd, rd, rn, rs]), cat([td, td, tn, ts]),
+                cat([zd, zd, zs, zn]),
+                True,
+                method=Gbase.synthesize,
+            )
+            xhat, xhat_star, i_pose, i_exp = split(out, 4)
+            pyramids = gbase.pyramids(xhat)
 
             # Pyramid perceptual loss vs the driving frame (train.py:220-223).
             loss_per = jnp.float32(0.0)
@@ -200,30 +297,20 @@ def make_train_step(
 
             loss_fm = feature_matching_loss(xhat, xd)
 
-            # Cross-reenactment + cycle cosine (train.py:283-304).
-            def run(*args, method=None):
-                out = gbase.apply(variables, *args, method=method,
-                                  mutable=mutable)
-                return out[0] if mutable else out
-
-            xhat_star, _ = run(xs_star, xd, True)
-
-            def motion_z(img):
-                _, _, z = run(img, True, method=Gbase.encode_motion)
-                return z
-
-            z_pred = motion_z(xhat)
-            z_d = motion_z(xd)
-            z_star_pred = motion_z(xhat_star)
-            z_d_star = motion_z(xd_star)
+            # Cycle cosine (train.py:289-304): motion descriptors of the two
+            # predictions in one batched pass; driving descriptors reuse the
+            # source-motion pass above.
+            _, _, z_pred_all = run(
+                jnp.concatenate([xhat, xhat_star], 0), True,
+                method=Gbase.encode_motion,
+            )
+            z_pred, z_star_pred = split(z_pred_all, 2)
             loss_cos = cosine_loss(
-                [(z_pred, z_d), (z_star_pred, z_d)],
-                [(z_pred, z_d_star), (z_star_pred, z_d_star)],
+                [(z_pred, zd), (z_star_pred, zd)],
+                [(z_pred, zd_star), (z_star_pred, zd_star)],
             )
 
             # Pairwise transfer (model.py:2186-2219) on same-video frames.
-            i_pose, i_exp = run(xs, xs_next, True,
-                                method=Gbase.pairwise_outputs)
             loss_pairwise = jnp.mean(
                 jnp.abs(i_pose.astype(jnp.float32) - i_exp.astype(jnp.float32))
             )

@@ -94,18 +94,32 @@ def test_frame_batches_cross_frame_indices_differ(video_dir):
 
 
 def test_separate_video_driving_mode(video_dir):
-    """Reference-parity mode: driving frames come from a shared driving
-    video picked at init (EmoDataset.py:50-61, 325-330)."""
-    ds = _make(video_dir, driving_mode="separate_video", n_driving_videos=1)
-    assert len(ds.driving_video_ids) == 1
-    shared = ds.load_and_process_video(ds.driving_video_ids[0])
-    item0, item1 = ds[0], ds[1]
-    np.testing.assert_array_equal(
-        item0["driving_frames"], shared["driving_frames"]
-    )
-    np.testing.assert_array_equal(
-        item1["driving_frames"], shared["driving_frames"]
-    )
+    """Reference-parity mode: TWO shared driving videos drawn independently
+    at init (random.choice twice, EmoDataset.py:50,57); every item returns
+    clip 0 as driving_frames and clip 1 as driving_frames_star
+    (EmoDataset.py:325-330)."""
+    ds = _make(video_dir, driving_mode="separate_video")
+    assert len(ds.driving_video_ids) == 2
+    shared0 = ds.load_and_process_video(ds.driving_video_ids[0])
+    shared1 = ds.load_and_process_video(ds.driving_video_ids[1])
+    for item in (ds[0], ds[1]):
+        np.testing.assert_array_equal(
+            item["driving_frames"], shared0["driving_frames"]
+        )
+        np.testing.assert_array_equal(
+            item["driving_frames_star"], shared1["driving_frames"]
+        )
+
+
+def test_separate_video_picks_vary_with_seed(video_dir):
+    """Init picks are RANDOM (seeded), not a fixed slice of video_ids —
+    matching the reference's random.choice (VERDICT r2 weak #8)."""
+    picks = {
+        tuple(_make(video_dir, driving_mode="separate_video",
+                    seed=s).driving_video_ids)
+        for s in range(12)
+    }
+    assert len(picks) > 1, picks
 
 
 def test_tps_warp_is_small_perturbation():
