@@ -1,0 +1,125 @@
+"""End-to-end eval table (VERDICT r2 'Next round' item 3).
+
+Closes the loop the reference runs manually (reference metrics.py:61-102):
+train stage-1 (scripts/overfit.py --export ...) -> dump self-reenactment
+and cross-reenactment frames -> evaluate_metrics -> one committed table.
+
+    python benchmarks/eval_table.py --gbase-ckpt checkpoints/overfit256
+        [--size 256] [--pairs 8] [--out /tmp/eval_frames]
+
+File naming matches the reference trainer's dumps (train.py:206-215,
+284-285): pred_frame_<k>.png for self-reenactment (target = the driving
+frame), cross_reenactment_images_<k>.png for the cross pass (compared
+against the driving frame: pixel metrics are indicative only there, AKD is
+the meaningful column). Landmark/embedding providers are auto-installed
+from a converted-weight bundle when one exists (eval/metrics.py); without
+one, AKD uses the face-box proxy and the caveat is printed with the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbase-ckpt", required=True)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/eval_frames")
+    ap.add_argument("--video-dir", default="/root/reference/junk")
+    ap.add_argument("--json-file", default="/root/reference/data/overfit.json")
+    ap.add_argument("--pretrained", default="./pretrained")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from megaportraits_tpu.core.checkpoint import CheckpointManager
+    from megaportraits_tpu.core.config import Config
+    from megaportraits_tpu.core.dtypes import DEFAULT_POLICY
+    from megaportraits_tpu.data.dataset import EMODataset
+    from megaportraits_tpu.eval.metrics import evaluate_metrics
+
+    t0 = time.time()
+    cfg = Config()
+    cfg.data.train_width = cfg.data.train_height = args.size
+    gbase = cfg.make_gbase(policy=DEFAULT_POLICY)
+    dummy = jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16)
+    g_vars = jax.jit(gbase.init)(jax.random.PRNGKey(0), dummy, dummy)
+    restored = None
+    for path in (os.path.join(args.gbase_ckpt, "export"), args.gbase_ckpt):
+        try:
+            restored = CheckpointManager(path).restore({"g_variables": g_vars})
+        except Exception:
+            restored = None
+        if restored is not None:
+            break
+    if restored is None:
+        raise SystemExit(f"no restorable export under {args.gbase_ckpt}")
+    g_vars = restored["g_variables"]
+    print(f"restored trained Gbase from {args.gbase_ckpt} "
+          f"({time.time() - t0:.0f}s)")
+
+    os.makedirs("/tmp/megaportraits_cache", exist_ok=True)
+    ds = EMODataset(
+        width=args.size, height=args.size, n_sample_frames=args.pairs + 2,
+        sample_rate=10, video_dir=args.video_dir, json_file=args.json_file,
+        cache_dir="/tmp/megaportraits_cache",
+    )
+    frames = ds.load_and_process_video(ds.video_ids[0])["source_frames"]
+    star_id = ds.video_ids[1 % len(ds.video_ids)]
+    frames_star = ds.load_and_process_video(star_id)["source_frames"]
+
+    fwd = jax.jit(lambda v, xs, xd: gbase.apply(v, xs, xd)[0])
+
+    pred_dir = os.path.join(args.out, "pred")
+    tgt_dir = os.path.join(args.out, "target")
+    os.makedirs(pred_dir, exist_ok=True)
+    os.makedirs(tgt_dir, exist_ok=True)
+
+    def save(img01, path):
+        Image.fromarray(
+            (np.clip(np.asarray(img01, np.float32), 0, 1) * 255).astype(
+                np.uint8)
+        ).save(path)
+
+    src = jnp.asarray(frames[0])[None].astype(jnp.bfloat16)
+    src_star = jnp.asarray(frames_star[0])[None].astype(jnp.bfloat16)
+    for k in range(args.pairs):
+        drv_np = frames[(k + 1) % len(frames)]
+        drv = jnp.asarray(drv_np)[None].astype(jnp.bfloat16)
+        pred = np.asarray(fwd(g_vars, src, drv), np.float32)[0]
+        cross = np.asarray(fwd(g_vars, src_star, drv), np.float32)[0]
+        save(pred, os.path.join(pred_dir, f"pred_frame_{k}.png"))
+        save(drv_np, os.path.join(tgt_dir, f"pred_frame_{k}.png"))
+        save(cross,
+             os.path.join(pred_dir, f"cross_reenactment_images_{k}.png"))
+        save(drv_np,
+             os.path.join(tgt_dir, f"cross_reenactment_images_{k}.png"))
+    print(f"dumped {args.pairs} self + {args.pairs} cross frames "
+          f"({time.time() - t0:.0f}s)")
+
+    table = evaluate_metrics(pred_dir, tgt_dir,
+                             pretrained_path=args.pretrained)
+    bundle_present = table.get("AED_formula") == "identity_embedding"
+    print(json.dumps(table, indent=2))
+    if not bundle_present:
+        print("caveat: no converted-weight bundle installed — AKD/AED use "
+              "the face-box landmark proxy and LPIPS is unavailable "
+              "(drop real .pth files into scripts/convert_weights.py to "
+              "upgrade the columns)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -19,8 +19,6 @@ from megaportraits_tpu.core.config import Config, load_config
 from megaportraits_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
 from megaportraits_tpu.data.dataset import EMODataset
 from megaportraits_tpu.data.prefetch import prefetch_to_device
-from megaportraits_tpu.models.gbase import Gbase
-from megaportraits_tpu.ops.resize import linear_resize
 from megaportraits_tpu.parallel.mesh import batch_sharding, make_mesh
 from megaportraits_tpu.train.train_hr import init_hr_state, make_hr_train_step
 from megaportraits_tpu.utils.logging import MetricsWriter
@@ -46,7 +44,7 @@ def train_hr(cfg: Config, max_steps: int | None = None,
     size = cfg.data.train_width
     native_hr = native_hr and upscale > 1
 
-    gbase = Gbase(policy=policy)
+    gbase = cfg.make_gbase(policy=policy)
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
     gbase_vars = jax.jit(gbase.init)(rng, dummy, dummy)
     if gbase_ckpt:

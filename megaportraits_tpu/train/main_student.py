@@ -34,7 +34,9 @@ def train_student(cfg: Config, max_steps: int | None = None,
     rng = jax.random.PRNGKey(cfg.training.seed)
     size = cfg.data.train_width
 
-    teacher = GHR(policy=policy)
+    from megaportraits_tpu.core.arch import get_arch
+
+    teacher = GHR(policy=policy, arch=get_arch(cfg.model.arch))
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
     teacher_vars = jax.jit(teacher.init)(rng, dummy, dummy)
     if teacher_ckpt:

@@ -29,13 +29,16 @@ from megaportraits_tpu.train.state import TrainState, make_optimizer
 
 def init_hr_state(cfg: Config, rng: jax.Array, policy: Policy = DEFAULT_POLICY,
                   image_size: int = 512, upscale: int = 2):
-    genh = Genh(policy=policy)
+    from megaportraits_tpu.core.arch import get_arch
+
+    arch = get_arch(cfg.model.arch)
+    genh = Genh(policy=policy, arch=arch)
     k1, k2 = jax.random.split(rng)
     dummy = jnp.zeros((1, image_size * upscale, image_size * upscale, 3),
                       policy.compute_dtype)
     variables = jax.jit(genh.init)(k1, dummy)
     ploss = PerceptualLoss(weights={"vgg19": 1.0, "vggface": 0.0, "gaze": 0.0,
-                                    "lpips": 0.0}, policy=policy)
+                                    "lpips": 0.0}, policy=policy, arch=arch)
     p_vars = jax.jit(ploss.init)(k2, dummy, dummy)
     steps = (cfg.training.steps_per_epoch or 1) * cfg.training.hr_epochs
     tx = make_optimizer(cfg.training.lr, steps)

@@ -25,7 +25,10 @@ def init_student_state(
     cfg: Config, rng: jax.Array, policy: Policy = DEFAULT_POLICY,
     image_size: int = 512,
 ):
-    student = Student(num_avatars=cfg.training.num_avatars, policy=policy)
+    from megaportraits_tpu.core.arch import get_arch
+
+    student = Student(num_avatars=cfg.training.num_avatars, policy=policy,
+                      arch=get_arch(cfg.model.arch))
     dummy = jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype)
     idx = jnp.zeros((1,), jnp.int32)
     variables = jax.jit(student.init)(rng, dummy, idx)
@@ -103,8 +106,9 @@ def make_teacher_forward(teacher: GHR, teacher_variables: Any):
         return out
 
     base = Gbase(policy=teacher.policy,
-                 warp_normalize_mode=teacher.warp_normalize_mode)
-    genh = Genh(policy=teacher.policy)
+                 warp_normalize_mode=teacher.warp_normalize_mode,
+                 arch=teacher.arch)
+    genh = Genh(policy=teacher.policy, arch=teacher.arch)
     base_vars = _sub("gbase")
     genh_vars = _sub("genh")
 

