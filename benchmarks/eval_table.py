@@ -71,21 +71,42 @@ def main():
           f"({time.time() - t0:.0f}s)")
 
     os.makedirs("/tmp/megaportraits_cache", exist_ok=True)
+    # Enumerate ALL clips in video_dir (overfit.json lists only one —
+    # a star source from the same clip would make cross == self): an empty
+    # clips dict makes EMODataset fall back to the video_dir listing.
+    import tempfile
+
+    tmp_json = os.path.join(tempfile.gettempdir(), "eval_clips.json")
+    with open(tmp_json, "w") as f:
+        json.dump({"clips": {}}, f)
     ds = EMODataset(
         width=args.size, height=args.size, n_sample_frames=args.pairs + 2,
-        sample_rate=10, video_dir=args.video_dir, json_file=args.json_file,
+        sample_rate=10, video_dir=args.video_dir, json_file=tmp_json,
         cache_dir="/tmp/megaportraits_cache",
     )
+    assert len(ds.video_ids) >= 2, "need >=2 clips for cross-reenactment"
     frames = ds.load_and_process_video(ds.video_ids[0])["source_frames"]
-    star_id = ds.video_ids[1 % len(ds.video_ids)]
-    frames_star = ds.load_and_process_video(star_id)["source_frames"]
+    frames_star = ds.load_and_process_video(ds.video_ids[1])["source_frames"]
 
-    fwd = jax.jit(lambda v, xs, xd: gbase.apply(v, xs, xd)[0])
+    # Streaming split path (encode_source once, drive per frame): the fused
+    # bf16 full-forward graph at 128-256px reliably crashes the remote
+    # compile service (benchmarks/RESULTS.md round 2); the split graphs
+    # compile, and this is the production serving path anyway.
+    from megaportraits_tpu.models.gbase import Gbase as _G
+
+    encode = jax.jit(lambda v, x: gbase.apply(v, x, method=_G.encode_source))
+    drive = jax.jit(lambda v, s, xd: gbase.apply(v, s, xd, method=_G.drive))
+
+    def fwd_factory(v, xs):
+        state = encode(v, xs)
+        return lambda xd: drive(v, state, xd)
 
     pred_dir = os.path.join(args.out, "pred")
     tgt_dir = os.path.join(args.out, "target")
-    os.makedirs(pred_dir, exist_ok=True)
-    os.makedirs(tgt_dir, exist_ok=True)
+    cross_dir = os.path.join(args.out, "cross")
+    cross_tgt_dir = os.path.join(args.out, "cross_target")
+    for d in (pred_dir, tgt_dir, cross_dir, cross_tgt_dir):
+        os.makedirs(d, exist_ok=True)
 
     def save(img01, path):
         Image.fromarray(
@@ -95,24 +116,33 @@ def main():
 
     src = jnp.asarray(frames[0])[None].astype(jnp.bfloat16)
     src_star = jnp.asarray(frames_star[0])[None].astype(jnp.bfloat16)
+    fwd_self = fwd_factory(g_vars, src)
+    fwd_cross = fwd_factory(g_vars, src_star)
     for k in range(args.pairs):
         drv_np = frames[(k + 1) % len(frames)]
         drv = jnp.asarray(drv_np)[None].astype(jnp.bfloat16)
-        pred = np.asarray(fwd(g_vars, src, drv), np.float32)[0]
-        cross = np.asarray(fwd(g_vars, src_star, drv), np.float32)[0]
+        pred = np.asarray(fwd_self(drv), np.float32)[0]
+        cross = np.asarray(fwd_cross(drv), np.float32)[0]
         save(pred, os.path.join(pred_dir, f"pred_frame_{k}.png"))
         save(drv_np, os.path.join(tgt_dir, f"pred_frame_{k}.png"))
         save(cross,
-             os.path.join(pred_dir, f"cross_reenactment_images_{k}.png"))
+             os.path.join(cross_dir, f"cross_reenactment_images_{k}.png"))
         save(drv_np,
-             os.path.join(tgt_dir, f"cross_reenactment_images_{k}.png"))
+             os.path.join(cross_tgt_dir, f"cross_reenactment_images_{k}.png"))
     print(f"dumped {args.pairs} self + {args.pairs} cross frames "
           f"({time.time() - t0:.0f}s)")
 
+    # Self-reenactment: pixel metrics are meaningful (target IS the driving
+    # frame). Cross-reenactment vs the driving frame: only the motion
+    # metrics (AKD) are meaningful — identity differs by construction.
     table = evaluate_metrics(pred_dir, tgt_dir,
                              pretrained_path=args.pretrained)
+    cross_table = evaluate_metrics(cross_dir, cross_tgt_dir,
+                                   pretrained_path=args.pretrained)
     bundle_present = table.get("AED_formula") == "identity_embedding"
-    print(json.dumps(table, indent=2))
+    print("self-reenactment:", json.dumps(table, indent=2))
+    print("cross-reenactment (motion metrics only are meaningful):",
+          json.dumps(cross_table, indent=2))
     if not bundle_present:
         print("caveat: no converted-weight bundle installed — AKD/AED use "
               "the face-box landmark proxy and LPIPS is unavailable "
