@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--video-dir", default="/root/reference/junk")
     ap.add_argument("--json-file", default="/root/reference/data/overfit.json")
     ap.add_argument("--heldout", type=int, default=4)
+    ap.add_argument(
+        "--export-genh", default="",
+        help="Orbax export dir for the trained Genh "
+             "({'genh_variables': ...}; feeds validate_student --genh-ckpt)",
+    )
     args = ap.parse_args()
 
     import cv2
@@ -175,6 +180,15 @@ def main():
         f.write(f"mean PSNR gain over bilinear: {mean_gain:+.2f} dB\n")
         print(f"mean PSNR gain over bilinear: {mean_gain:+.2f} dB")
     print(f"wrote {args.out}/RESULTS.txt")
+
+    if args.export_genh:
+        genh_variables = {"params": state.params}
+        if state.batch_stats is not None:
+            genh_variables["batch_stats"] = state.batch_stats
+        mgr = CheckpointManager(args.export_genh)
+        mgr.save(args.steps, {"genh_variables": genh_variables}, wait=True)
+        mgr.close()
+        print(f"exported trained Genh to {args.export_genh}")
     return 0
 
 

@@ -10,8 +10,9 @@ Capability-parity rebuild of the reference EmoDataset.py:24-330:
     warp_strength=0.01 (EmoDataset.py:133-158)
   * shared-RNG augmentation (horizontal flip + color jitter) applied
     identically to paired frames (EmoDataset.py:204-206, 249-263)
-  * npz cache contract: `{video_id}_tensors.npz` next to the video; cache
-    hit skips all preprocessing (EmoDataset.py:189-196)
+  * npz cache contract: `{video_id}_{W}x{H}_tensors.npz` next to the
+    video; cache hit skips all preprocessing (EmoDataset.py:189-196 —
+    the reference's unsized key aliases across decode resolutions)
   * __getitem__ returns {video_id, source_frames, driving_frames,
     video_id_star, source_frames_star, driving_frames_star} with the star
     pair drawn from a different video for the cycle loss
@@ -368,7 +369,15 @@ class EMODataset:
     # -- preprocessing ------------------------------------------------------
 
     def _cache_path(self, video_id: str) -> str:
-        return os.path.join(self.cache_dir, f"{video_id}_tensors.npz")
+        # Reference contract is `{video_id}_tensors.npz` (EmoDataset.py:189)
+        # — but the reference only ever decodes at one resolution, so an
+        # unsized key silently returns stale tensors when the same cache
+        # dir is reused at another size (real bug hit by the HR harness:
+        # a 512 decode got cached 256 frames). Keyed by WxH here.
+        return os.path.join(
+            self.cache_dir,
+            f"{video_id}_{self.width}x{self.height}_tensors.npz",
+        )
 
     def _decode_video(self, path: str) -> np.ndarray:
         assert cv2 is not None, "cv2 required for video decoding"

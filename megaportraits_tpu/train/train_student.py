@@ -88,13 +88,19 @@ def make_student_train_step(
     return lambda state, batch: jitted(state, batch, teacher_variables)
 
 
-def make_teacher_forward(teacher: GHR, teacher_variables: Any):
+def make_teacher_forward(teacher: GHR, teacher_variables: Any,
+                         include_enh: bool = True):
     """Frozen-teacher forward returning [0,1] targets, compiled as TWO
     graphs (Gbase, then Genh) on standalone module bindings: the fused
     GHR graph (and even its method-scoped halves) reliably crashes the
     remote compile service at >=128px, while the identical math bound to
     plain Gbase/Genh modules compiles; the split costs one extra device
-    round trip per batch on a frozen no-grad path."""
+    round trip per batch on a frozen no-grad path.
+
+    With ``include_enh=False`` the Genh stage is skipped and the Gbase
+    output ([0,1] sigmoid) is the target directly — use when no trained
+    Genh exists: a RANDOM Genh collapses the target distribution to
+    near-constant and makes any student 'perfect' (round-3 finding)."""
     from megaportraits_tpu.models.gbase import Gbase
     from megaportraits_tpu.models.genh import Genh
 
@@ -126,6 +132,12 @@ def make_teacher_forward(teacher: GHR, teacher_variables: Any):
     def enh_fwd(variables, xhat_base):
         target = genh.apply(variables, xhat_base)
         return (target.astype(jnp.float32) + 1.0) * 0.5
+
+    if not include_enh:
+        def forward(xs, xd):
+            return base_fwd(base_vars, xs, xd).astype(jnp.float32)
+
+        return forward
 
     def forward(xs, xd):
         return enh_fwd(genh_vars, base_fwd(base_vars, xs, xd))

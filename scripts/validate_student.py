@@ -46,6 +46,13 @@ def main():
              "real reenactment distribution, not random-init noise "
              "(VERDICT r2 weak #2)",
     )
+    ap.add_argument(
+        "--genh-ckpt", default="",
+        help="Orbax export of a TRAINED Genh ({'genh_variables': ...}, "
+             "from benchmarks/hr_quality.py --export-genh). Without it "
+             "the teacher is Gbase-only: a RANDOM Genh collapses the "
+             "target to near-constant and 'perfect' scores are vacuous",
+    )
     args = ap.parse_args()
 
     import jax
@@ -85,11 +92,18 @@ def main():
     t_vars = jax.jit(teacher.init)(rng, dummy, dummy)
     if args.gbase_ckpt:
         t_vars = _graft_gbase(t_vars, args.gbase_ckpt, args.size)
+    if args.genh_ckpt:
+        t_vars = _graft_genh(t_vars, args.genh_ckpt)
+    include_enh = bool(args.genh_ckpt) or not args.gbase_ckpt
+    if not include_enh:
+        print("teacher: Gbase-only (no trained Genh provided — a random "
+              "Genh would collapse the target distribution)")
 
     student, state = init_student_state(cfg, rng, policy, args.size)
     step = make_student_train_step(student, teacher, t_vars, cfg,
                                    donate=False)
-    teacher_fwd = make_teacher_forward(teacher, t_vars)
+    teacher_fwd = make_teacher_forward(teacher, t_vars,
+                                       include_enh=include_enh)
 
     rngn = np.random.default_rng(0)
     t0 = time.time()
@@ -173,6 +187,36 @@ def _graft_gbase(t_vars, ckpt_path, size):
         t_vars["batch_stats"] = dict(t_vars["batch_stats"])
         t_vars["batch_stats"]["gbase"] = g["batch_stats"]
     print(f"teacher: grafted trained Gbase from {ckpt_path}")
+    return t_vars
+
+
+def _graft_genh(t_vars, ckpt_path):
+    """Restore a trained Genh export into the teacher's 'genh' subtree."""
+    from megaportraits_tpu.core.checkpoint import CheckpointManager
+
+    template = {"params": t_vars["params"]["genh"]}
+    if "batch_stats" in t_vars and "genh" in t_vars["batch_stats"]:
+        template["batch_stats"] = t_vars["batch_stats"]["genh"]
+    restored = None
+    for path in (os.path.join(ckpt_path, "export"), ckpt_path):
+        try:
+            restored = CheckpointManager(path).restore(
+                {"genh_variables": template})
+        except Exception as e:
+            print(f"note: no restorable genh export at {path}: {e}")
+            restored = None
+        if restored is not None:
+            break
+    if restored is None:
+        raise SystemExit(f"--genh-ckpt: nothing restorable at {ckpt_path}")
+    g = restored["genh_variables"]
+    t_vars = dict(t_vars)
+    t_vars["params"] = dict(t_vars["params"])
+    t_vars["params"]["genh"] = g["params"]
+    if "batch_stats" in g and "batch_stats" in t_vars:
+        t_vars["batch_stats"] = dict(t_vars["batch_stats"])
+        t_vars["batch_stats"]["genh"] = g["batch_stats"]
+    print(f"teacher: grafted trained Genh from {ckpt_path}")
     return t_vars
 
 

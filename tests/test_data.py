@@ -55,7 +55,7 @@ def test_getitem_schema_and_star_pair(video_dir):
 def test_npz_cache_roundtrip(video_dir):
     ds = _make(video_dir)
     ds.load_and_process_video("clip_a")
-    cache = os.path.join(video_dir, "clip_a_tensors.npz")
+    cache = os.path.join(video_dir, "clip_a_64x64_tensors.npz")
     assert os.path.exists(cache)
     # Fresh dataset must hit the cache (identical tensors, no reprocessing).
     ds2 = _make(video_dir)
