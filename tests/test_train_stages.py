@@ -165,3 +165,29 @@ def test_student_train_step_sharded_tiny():
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss_student"]))
     assert int(new_state.step) == 1
+
+
+def test_teacher_forward_base_only_tiny():
+    """include_enh=False: the distillation target is the Gbase output in
+    [0,1] (a random Genh collapses the target distribution — round-3
+    finding); include_enh=True runs the Genh stage (tanh -> [0,1])."""
+    from megaportraits_tpu.core.arch import TINY
+    from megaportraits_tpu.models.genh import GHR
+    from megaportraits_tpu.train.train_student import make_teacher_forward
+
+    size = 32
+    teacher = GHR(policy=FP32_POLICY, arch=TINY)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    t_vars = jax.jit(teacher.init)(jax.random.PRNGKey(0), dummy, dummy)
+    xs = jnp.full((1, size, size, 3), 0.5, jnp.float32)
+    xd = jnp.full((1, size, size, 3), 0.25, jnp.float32)
+
+    base_only = make_teacher_forward(teacher, t_vars, include_enh=False)
+    full = make_teacher_forward(teacher, t_vars, include_enh=True)
+    tb = np.asarray(base_only(xs, xd))
+    tf = np.asarray(full(xs, xd))
+    assert tb.shape == tf.shape == (1, size, size, 3)
+    assert tb.min() >= 0.0 and tb.max() <= 1.0
+    assert tf.min() >= 0.0 and tf.max() <= 1.0
+    # The random Genh must actually change the target.
+    assert not np.allclose(tb, tf)
