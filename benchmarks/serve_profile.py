@@ -56,6 +56,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--skip-segments", action="store_true")
+    ap.add_argument("--skip-whole", action="store_true")
     args = ap.parse_args()
     size = args.size
 
@@ -69,8 +71,14 @@ def main():
 
     rows = []
 
+    # Segments FIRST (small graphs, fast compiles through the remote
+    # service); the big whole-drive chains go last so a timeout still
+    # leaves the per-segment table.
+    if not args.skip_segments:
+        profile_segments(model, variables, xs, size, rows)
+
     # --- whole drive at each batch size --------------------------------
-    for b in args.batches:
+    for b in ([] if args.skip_whole else args.batches):
         xb = jnp.tile(xs, (b, 1, 1, 1))
         state = jax.jit(
             lambda v, x: model.apply(v, x, method=Gbase.encode_source)
@@ -83,12 +91,25 @@ def main():
             drive,
             lambda k, _b=b: jax.random.uniform(
                 jax.random.PRNGKey(1), (k, _b, size, size, 3), jnp.bfloat16),
+            k_small=1, k_large=5,
         )
         rows.append((f"drive total (batch {b})", t * 1e3,
                      f"{b / t:.1f} fps aggregate"))
         print(rows[-1], flush=True)
 
-    # --- segments at batch 1 -------------------------------------------
+    print_table(rows)
+
+
+def print_table(rows):
+    print("\n| segment | ms | note |")
+    print("|---|---|---|")
+    for name, ms, note in rows:
+        print(f"| {name} | {ms:.2f} | {note} |")
+
+
+def profile_segments(model, variables, xs, size, rows):
+    from megaportraits_tpu.models.gbase import Gbase
+
     state1 = jax.jit(
         lambda v, x: model.apply(v, x, method=Gbase.encode_source)
     )(variables, xs)
@@ -158,12 +179,9 @@ def main():
                  "543 GFLOP; ceiling ~3.9 ms @139TF/s b8-conv-rate"))
     print(rows[-1], flush=True)
 
-    print("\n| segment | ms | note |")
-    print("|---|---|---|")
-    for name, ms, note in rows:
-        print(f"| {name} | {ms:.2f} | {note} |")
     total_segments = (t_motion + t_wg + t_warp + t_g2d) * 1e3
-    print(f"| segment sum (b1) | {total_segments:.2f} | vs drive total |")
+    rows.append(("segment sum (b1)", total_segments, "vs drive total"))
+    print_table(rows)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,13 @@ def main():
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument(
+        "--pool", type=int, default=0,
+        help="precompute N batches, keep them device-resident, and sample "
+             "from them on-device per step (removes the ~1.2 s/step tunnel "
+             "upload; fine for overfit runs where batch diversity is the "
+             "pool size)",
+    )
+    parser.add_argument(
         "--export", default="",
         help="Orbax export dir for the trained Gbase variables "
              "({'g_variables': ...}, the main_base export schema) — feeds "
@@ -67,12 +74,32 @@ def main():
         image_size=args.size,
     )
     print(f"init done ({time.time() - t0:.1f}s)", flush=True)
-    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False,
+                           pool_index=bool(args.pool))
 
     batches = dataset.frame_batches(args.batch, frame_offset=3, seed=0)
     first_g = None
-    for i, batch in zip(range(args.steps), batches):
-        g_state, d_state, metrics, xhat = step(g_state, d_state, batch)
+    if args.pool:
+        import jax.numpy as jnp
+
+        pool_list = [next(batches) for _ in range(args.pool)]
+        pool = {
+            k: jnp.asarray(np.stack([b[k] for b in pool_list]))
+            for k in pool_list[0]
+        }
+        rng = np.random.default_rng(1)
+        print(f"pool of {args.pool} batches uploaded "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+    for i in range(args.steps):
+        if args.pool:
+            pi = int(rng.integers(args.pool))
+            g_state, d_state, metrics, xhat = step(g_state, d_state, pool, pi)
+            driving_img = pool_list[pi]["driving"]
+        else:
+            batch = next(batches)
+            g_state, d_state, metrics, xhat = step(g_state, d_state, batch)
+            driving_img = batch["driving"]
         if i == 0 or (i + 1) % args.log_every == 0:
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             if first_g is None:
@@ -80,7 +107,7 @@ def main():
             print(f"step {i + 1}: {m} ({time.time() - t0:.1f}s)", flush=True)
             save_image(np.asarray(xhat, dtype=np.float32),
                        f"output_images/overfit_pred_{i + 1}.png")
-            save_image(batch["driving"],
+            save_image(driving_img,
                        f"output_images/overfit_target_{i + 1}.png")
     final_g = float(metrics["loss_G"])
     print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "

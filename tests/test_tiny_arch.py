@@ -102,3 +102,40 @@ def test_tiny_train_step_on_virtual_mesh():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(g2.step) == 1 and int(d2.step) == 1
+
+
+@pytest.mark.slow
+def test_pool_index_step_matches_plain_step():
+    """pool_index=True with index i == plain step on pool[i] (tiny arch)."""
+    import numpy as np
+
+    from megaportraits_tpu.core.config import Config
+    from megaportraits_tpu.core.dtypes import Policy
+    from megaportraits_tpu.train.train_base import init_states, make_train_step
+
+    size = 32
+    cfg = Config()
+    cfg.data.train_width = cfg.data.train_height = size
+    cfg.training.steps_per_epoch = 1
+    cfg.model.arch = "tiny"
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=Policy(compute_dtype=jnp.float32),
+        image_size=size, fast_init=True,
+    )
+    keys = ("source", "driving", "source_next", "source_star", "driving_star")
+    pool = {
+        k: jax.random.uniform(jax.random.PRNGKey(i), (3, 2, size, size, 3))
+        for i, k in enumerate(keys)
+    }
+    plain = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+    pooled = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False,
+                             pool_index=True)
+    g_a, d_a, m_a, x_a = plain(
+        g_state, d_state, {k: v[1] for k, v in pool.items()})
+    g_b, d_b, m_b, x_b = pooled(g_state, d_state, pool, 1)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), atol=1e-6)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a.params),
+                    jax.tree_util.tree_leaves(g_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
