@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--skip-scan", action="store_true")
     ap.add_argument("--skip-fused", action="store_true")
+    ap.add_argument("--only-scan", action="store_true",
+                    help="just the k=1 vs k=2 train-step scan probe @256 — "
+                         "also discriminates per-call dispatch overhead "
+                         "from device time (2 steps in one call)")
     args = ap.parse_args()
     size = args.size
 
@@ -62,7 +66,9 @@ def main():
     rows = []
     rng = jax.random.PRNGKey(0)
 
-    for policy, tag in ((DEFAULT_POLICY, "bf16"), (FP32_POLICY, "fp32")):
+    policies = () if args.only_scan else (
+        (DEFAULT_POLICY, "bf16"), (FP32_POLICY, "fp32"))
+    for policy, tag in policies:
         teacher = GHR(policy=policy)
         dt = policy.compute_dtype
         dummy = jnp.zeros((1, size, size, 3), dt)
