@@ -31,16 +31,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _materialize(out):
+    # block_until_ready does NOT wait through the axon tunnel (bench.py
+    # methodology note) — force a host readback of one scalar-ish leaf.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.mean(leaf.astype(jnp.float32)))
+
+
 def timed_compile(label, fn, *args):
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(fn(*args))
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _materialize(fn(*args))
     t_run = (time.perf_counter() - t0) / reps
     print(f"{label}: compile+first {t_compile:.1f}s, "
           f"per-call {t_run * 1e3:.1f}ms", flush=True)
