@@ -24,6 +24,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platform_name", "cpu")
+# Restrict backend DISCOVERY to cpu too: a registered-but-unreachable
+# axon plugin HANGS jax.devices() during tunnel outages even with the
+# default platform pinned (observed 2026-08-17, whole-suite stall). The
+# env var JAX_PLATFORMS is hijacked by the plugin at import time, but
+# the config set AFTER import sticks.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # This host has a single CPU core: XLA compiles dominate test time. A
