@@ -83,6 +83,30 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
     return Mesh(dev_array, axis_names)
 
 
+def check_per_chip_batch(global_batch: int, mesh: Mesh) -> int:
+    """Return the per-chip batch; warn if it lands in the pathological
+    XLA:TPU conv regime.
+
+    Measured (benchmarks/RESULTS.md round-3 shape table): per-chip
+    batches 2-4 pad the batch axis toward the 8-wide sublane tile and run
+    up to 8.3x slower PER SAMPLE than batch 1 (b4 -> b8 is free). Use
+    per-chip batch 1 (scale via the data axis; under GSPMD the BN batch
+    reduction stays global across shards) or >= 8.
+    """
+    per_chip = max(1, global_batch // mesh.shape.get(DATA_AXIS, 1))
+    if 2 <= per_chip <= 4:
+        import warnings
+
+        warnings.warn(
+            f"per-chip batch {per_chip} is in the pathological TPU conv "
+            f"regime (2-4): expect up to ~8x worse per-sample step time "
+            f"than per-chip batch 1 or 8+. Use batch_size = data-axis "
+            f"size, or >= 8x data-axis size.",
+            stacklevel=2,
+        )
+    return per_chip
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

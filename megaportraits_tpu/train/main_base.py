@@ -42,21 +42,9 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
         while cfg.training.batch_size % n:
             n -= 1
         mesh = make_mesh({DATA_AXIS: n}, devices=jax.devices()[:n])
-    per_chip = cfg.training.batch_size // mesh.shape[DATA_AXIS]
-    if 2 <= per_chip <= 4:
-        # Measured (benchmarks/RESULTS.md round-3 shape table): per-chip
-        # batches 2-4 fall into a pathological XLA:TPU conv regime that
-        # pads the batch axis toward the 8-wide sublane tile — the 256^2
-        # b2 step runs 8.3x slower PER SAMPLE than b1. Batch 1 or >=8
-        # per chip only.
-        import warnings
+    from megaportraits_tpu.parallel.mesh import check_per_chip_batch
 
-        warnings.warn(
-            f"per-chip batch {per_chip} is in the pathological TPU conv "
-            f"regime (2-4): expect up to ~8x worse per-sample step time "
-            f"than per-chip batch 1 or 8+. Use batch_size = data-axis "
-            f"size, or >= 8x data-axis size."
-        )
+    check_per_chip_batch(cfg.training.batch_size, mesh)
     rng = jax.random.PRNGKey(cfg.training.seed)
 
     dataset = EMODataset(

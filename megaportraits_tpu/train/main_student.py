@@ -19,7 +19,11 @@ from megaportraits_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
 from megaportraits_tpu.data.dataset import EMODataset
 from megaportraits_tpu.data.prefetch import prefetch_to_device
 from megaportraits_tpu.models.genh import GHR
-from megaportraits_tpu.parallel.mesh import batch_sharding, make_mesh
+from megaportraits_tpu.parallel.mesh import (
+    batch_sharding,
+    check_per_chip_batch,
+    make_mesh,
+)
 from megaportraits_tpu.train.train_student import (
     init_student_state,
     make_student_train_step,
@@ -31,6 +35,7 @@ def train_student(cfg: Config, max_steps: int | None = None,
                   teacher_ckpt: str | None = None) -> dict:
     policy = DEFAULT_POLICY if cfg.training.use_bf16 else FP32_POLICY
     mesh = make_mesh(cfg.training.mesh_shape)
+    check_per_chip_batch(cfg.training.batch_size, mesh)
     rng = jax.random.PRNGKey(cfg.training.seed)
     size = cfg.data.train_width
 
