@@ -27,9 +27,42 @@ import jax.numpy as jnp
 BASELINE_FPS = 30.0
 
 
+def _require_device(timeout_s: float = 120.0):
+    """Fail fast if the TPU backend is unreachable.
+
+    The axon plugin HANGS jax.devices() (rather than erroring) when its
+    tunnel is down (outage observed 2026-08-17); without this probe the
+    bench would stall for its whole budget instead of reporting a clear
+    environment failure.
+    """
+    import sys
+    import threading
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            probe["error"] = repr(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if "devices" not in probe:
+        print(
+            f"bench: TPU backend unavailable "
+            f"({probe.get('error', f'init hung > {timeout_s:.0f}s — tunnel down?')})",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def main():
     from megaportraits_tpu.core.dtypes import DEFAULT_POLICY
     from megaportraits_tpu.models.gbase import Gbase
+
+    _require_device()
 
     size = 512
     model = Gbase(policy=DEFAULT_POLICY)
