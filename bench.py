@@ -28,31 +28,17 @@ BASELINE_FPS = 30.0
 
 
 def _require_device(timeout_s: float = 120.0):
-    """Fail fast if the TPU backend is unreachable.
-
-    The axon plugin HANGS jax.devices() (rather than erroring) when its
-    tunnel is down (outage observed 2026-08-17); without this probe the
-    bench would stall for its whole budget instead of reporting a clear
-    environment failure.
-    """
+    """Fail fast (exit 2) if the TPU backend is unreachable — the axon
+    plugin hangs jax.devices() while its tunnel is down; see
+    core/debug.probe_device_count."""
     import sys
-    import threading
 
-    probe: dict = {}
+    from megaportraits_tpu.core.debug import probe_device_count
 
-    def _probe():
-        try:
-            probe["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001
-            probe["error"] = repr(e)
-
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    t.join(timeout=timeout_s)
-    if "devices" not in probe:
+    if probe_device_count(timeout_s) is None:
         print(
-            f"bench: TPU backend unavailable "
-            f"({probe.get('error', f'init hung > {timeout_s:.0f}s — tunnel down?')})",
+            f"bench: TPU backend unavailable (init hung or failed within "
+            f"{timeout_s:.0f}s — tunnel down?)",
             file=sys.stderr,
         )
         raise SystemExit(2)

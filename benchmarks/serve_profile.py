@@ -233,7 +233,7 @@ def profile_segments(model, variables, xs, size, rows):
 
     total_segments = (t_motion + t_wg + t_warp + t_g2d) * 1e3
     rows.append(("segment sum (b1)", total_segments, "vs drive total"))
-    print_table(rows)
+    print(rows[-1], flush=True)
 
 
 if __name__ == "__main__":

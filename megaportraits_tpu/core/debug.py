@@ -46,3 +46,30 @@ def checked(fn: Callable) -> Callable:
     """Wrap fn so checkify.check invariants raise on the host after the
     jitted call: `err, out = checked(step)(...); err.throw()`."""
     return checkify.checkify(fn, errors=checkify.user_checks)
+
+
+def probe_device_count(timeout_s: float = 120.0):
+    """Return len(jax.devices()), or None if backend init fails OR hangs.
+
+    The axon TPU plugin HANGS jax.devices() (rather than erroring) while
+    its tunnel is down (outage observed 2026-08-17); every entry point
+    that must not stall on a dead tunnel (bench.py, __graft_entry__)
+    probes through this daemon-thread timeout. The thread is abandoned on
+    timeout — acceptable for process-lifetime entry points.
+    """
+    import threading
+
+    import jax
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["n"] = len(jax.devices())
+        except Exception as e:  # noqa: BLE001
+            probe["error"] = repr(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    return probe.get("n")

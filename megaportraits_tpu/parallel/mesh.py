@@ -93,15 +93,19 @@ def check_per_chip_batch(global_batch: int, mesh: Mesh) -> int:
     per-chip batch 1 (scale via the data axis; under GSPMD the BN batch
     reduction stays global across shards) or >= 8.
     """
-    per_chip = max(1, global_batch // mesh.shape.get(DATA_AXIS, 1))
-    if 2 <= per_chip <= 4:
+    data = mesh.shape.get(DATA_AXIS, 1)
+    # Ceil division: a non-dividing batch leaves some shard carrying the
+    # ceiling (e.g. batch 12 over data=8 -> shards of 2), which is what
+    # the conv regime sees.
+    per_chip = max(1, -(-global_batch // data))
+    if 2 <= per_chip <= 7:
         import warnings
 
         warnings.warn(
             f"per-chip batch {per_chip} is in the pathological TPU conv "
-            f"regime (2-4): expect up to ~8x worse per-sample step time "
-            f"than per-chip batch 1 or 8+. Use batch_size = data-axis "
-            f"size, or >= 8x data-axis size.",
+            f"regime (2-7, padded toward the 8-wide sublane tile; batch 2 "
+            f"measured up to ~8x worse per-sample than batch 1). Use "
+            f"batch_size = data-axis size, or >= 8x data-axis size.",
             stacklevel=2,
         )
     return per_chip

@@ -365,6 +365,8 @@ def make_train_step(
         return new_g_state, new_d_state, metrics, xhat
 
     donate_argnums = (0, 1) if donate else ()
+    if pool_index and unroll > 1:
+        raise ValueError("pool_index and unroll>1 are mutually exclusive")
     if pool_index:
         # Device-resident batch pool: the caller uploads a pool of batches
         # ONCE ([N, ...] leading axis) and passes a scalar index per step;

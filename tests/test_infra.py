@@ -131,17 +131,29 @@ def test_fsdp_param_sharding_on_fake_mesh():
 
 
 def test_per_chip_batch_warning():
-    """Batches 2-4 per chip warn (pathological TPU conv regime); 1 and 8
-    don't. Measured basis: benchmarks/RESULTS.md round-3 shape table."""
+    """Batches 2-7 per chip warn (pathological TPU conv regime); 1 and 8
+    don't; non-dividing batches use the CEILING shard size. Measured
+    basis: benchmarks/RESULTS.md round-3 shape table."""
     import warnings
 
     from megaportraits_tpu.parallel.mesh import check_per_chip_batch, make_mesh
 
     mesh = make_mesh({"data": 1}, devices=jax.devices()[:1])
-    for batch, should_warn in ((1, False), (2, True), (4, True), (8, False)):
+    for batch, should_warn in ((1, False), (2, True), (4, True), (7, True),
+                               (8, False)):
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             per_chip = check_per_chip_batch(batch, mesh)
         assert per_chip == batch
+        hits = [x for x in w if "pathological" in str(x.message)]
+        assert bool(hits) == should_warn, (batch, [str(x.message) for x in w])
+
+    mesh4 = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    for batch, expect, should_warn in ((4, 1, False), (6, 2, True),
+                                       (32, 8, False), (3, 1, False)):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            per_chip = check_per_chip_batch(batch, mesh4)
+        assert per_chip == expect, (batch, per_chip)
         hits = [x for x in w if "pathological" in str(x.message)]
         assert bool(hits) == should_warn, (batch, [str(x.message) for x in w])
