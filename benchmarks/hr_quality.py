@@ -29,6 +29,9 @@ import numpy as np
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--gbase-ckpt", required=True)
     ap.add_argument("--base-size", type=int, default=256)

@@ -118,6 +118,12 @@ class InferenceConfig:
     # vs inference.py:17-20) — set this flag only to reproduce that behavior
     # byte-for-byte against a converted reference checkpoint.
     reference_normalize: bool = False
+    # BatchNorm statistics at inference: 'running' = eval mode (reference
+    # inference.py convention); 'batch' = per-input batch stats (GAN-
+    # generator convention — serves what a small-batch-trained generator
+    # actually learned; the train/eval BN gap is large at small data/batch
+    # scale).
+    bn_mode: str = "running"
 
 
 @dataclasses.dataclass

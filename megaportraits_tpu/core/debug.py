@@ -25,6 +25,23 @@ def enable_nan_debugging(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+def apply_platform_env() -> None:
+    """Honor MEGAPORTRAITS_PLATFORM=cpu|tpu|... at driver startup.
+
+    The supported way to run a driver on a host whose axon TPU tunnel is
+    down: the plugin hijacks JAX_PLATFORMS at import (even
+    JAX_PLATFORMS=cpu lands on the TPU) and HANGS jax.devices() during
+    outages, and JAX_PLATFORM_NAME only picks the default among
+    already-discovered backends (discovery itself still hangs). Setting
+    jax.config AFTER import restricts backend discovery — verified
+    round 3. Call this before any device use."""
+    import os
+
+    p = os.environ.get("MEGAPORTRAITS_PLATFORM")
+    if p:
+        jax.config.update("jax_platforms", p)
+
+
 def assert_shape(x: jnp.ndarray, expected: Sequence[int], name: str) -> None:
     """Static shape invariant (trace-time, like the reference's asserts)."""
     if tuple(x.shape[1:]) != tuple(expected):

@@ -358,7 +358,18 @@ class EMODataset:
             # The reference draws each shared driving video INDEPENDENTLY
             # (random.choice twice, EmoDataset.py:50,57 — replacement
             # possible), one for driving_frames and one for
-            # driving_frames_star; match that.
+            # driving_frames_star; match that. The reference semantics
+            # need exactly 2 draws, so fewer is not honorable — say so
+            # instead of silently bumping (advisor finding, round 3).
+            if n_driving_videos < 2:
+                import warnings
+
+                warnings.warn(
+                    f"separate_video mode needs 2 driving-video draws "
+                    f"(driving + driving_star, EmoDataset.py:50,57); "
+                    f"n_driving_videos={n_driving_videos} raised to 2.",
+                    stacklevel=2,
+                )
             k = max(2, n_driving_videos)
             picks = self.rng.choice(len(self.video_ids), size=k, replace=True)
             self.driving_video_ids = [self.video_ids[int(p)] for p in picks]
@@ -470,7 +481,8 @@ class EMODataset:
         }
 
     def frame_batches(
-        self, batch_size: int, frame_offset: int = 20, seed: int = 0
+        self, batch_size: int, frame_offset: int = 20, seed: int = 0,
+        holdout: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield batched training dicts — the device-batched replacement for
         the reference's per-frame Python loop (train.py:179).
@@ -479,6 +491,10 @@ class EMODataset:
         the source index, so each pair carries real cross-frame motion (the
         degenerate 'undo a 0.01-strength warp of the input' objective of a
         same-index pairing cannot occur).
+
+        With holdout > 0, the LAST `holdout` frames of every clip are
+        excluded from sampling — reserved as the held-out eval tail
+        (the hr_quality.py convention) for early stopping.
         """
         rng = np.random.default_rng(seed)
         n = len(self)
@@ -490,16 +506,18 @@ class EMODataset:
                 d = item["driving_frames"]
                 ss = item["source_frames_star"]
                 ds = item["driving_frames_star"]
-                i = int(rng.integers(len(s)))
-                if self.driving_mode == "cross_frame" and len(d) > 1:
+                ns = max(1, len(s) - holdout)
+                nd = max(1, len(d) - holdout)
+                i = int(rng.integers(ns))
+                if self.driving_mode == "cross_frame" and nd > 1:
                     # uniform over indices != i
-                    k = int((i + 1 + rng.integers(len(d) - 1)) % len(d))
+                    k = int((i + 1 + rng.integers(nd - 1)) % nd)
                 else:
-                    k = int(rng.integers(len(d)))
+                    k = int(rng.integers(nd))
                 src.append(s[i % len(s)])
                 drv.append(d[k])
-                src_next.append(s[(i + frame_offset) % len(s)])
-                j = int(rng.integers(len(ds)))
+                src_next.append(s[(i + frame_offset) % ns])
+                j = int(rng.integers(max(1, len(ds) - holdout)))
                 src_star.append(ss[j % len(ss)])
                 drv_star.append(ds[j % len(ds)])
             yield {

@@ -30,17 +30,39 @@ FAN_INPUT_SIZE = 256
 
 class BoxLandmarkProvider:
     """Face-box corner proxy (5 points). is_proxy=True: AKD/AED computed
-    from this are NOT comparable to dlib-68 numbers."""
+    from this are NOT comparable to dlib-68 numbers.
+
+    center_prior_fallback (default True): when no face is detected, use a
+    fixed center-prior box instead of returning None (VERDICT r3 item 6:
+    the committed eval table's AKD/AED were n/a because the detector
+    fired on none of the harness frames). Every harness frame went
+    through sweet_spot_crop, which CENTERS the face by construction, so
+    the prior is informative there — but it is a constant-geometry
+    proxy: `n_center_prior` counts uses, and eval output must carry the
+    caveat."""
 
     is_proxy = True
     num_points = 5
+
+    def __init__(self, center_prior_fallback: bool = True):
+        self.center_prior_fallback = center_prior_fallback
+        self.n_center_prior = 0
+        self.n_detected = 0
 
     def detect(self, image: np.ndarray) -> Optional[np.ndarray]:
         from megaportraits_tpu.data.dataset import detect_face
 
         box = detect_face(image)
         if box is None:
-            return None
+            if not self.center_prior_fallback:
+                return None
+            # sweet-spot geometry: face box ≈ central 60% of the crop
+            # (EmoDataset.py:106-131 pads the face by 0.5 * face size).
+            h, w = image.shape[:2]
+            box = (int(0.2 * w), int(0.15 * h), int(0.6 * w), int(0.65 * h))
+            self.n_center_prior += 1
+        else:
+            self.n_detected += 1
         x, y, w, h = box
         return np.array(
             [[x, y], [x + w, y], [x, y + h], [x + w, y + h],

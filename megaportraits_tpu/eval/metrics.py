@@ -205,6 +205,17 @@ def evaluate_metrics(
     pairs with no detected face, like the reference (metrics.py:31-34)."""
     if lpips_apply is None and embedding_apply is None and pretrained_path:
         lpips_apply, embedding_apply = make_eval_callables(pretrained_path)
+        # Auto-install silently changing metric DEFINITIONS across hosts
+        # (real LPIPS vs None, identity-AED vs landmark proxy) is an
+        # advisor finding (round 3) — always state what's active.
+        print(
+            "evaluate_metrics: auto-install from "
+            f"{pretrained_path!r}: LPIPS "
+            f"{'REAL (vgg16+lin heads)' if lpips_apply else 'absent -> None'}"
+            f", AED "
+            + ("identity_embedding (vggface)" if embedding_apply
+               else "landmark_proxy formula")
+        )
     scores: Dict[str, list] = {k: [] for k in
                                ("L1", "LPIPS", "PSNR", "SSIM", "AKD", "AED")}
     for filename in sorted(os.listdir(output_dir)):
@@ -233,5 +244,18 @@ def evaluate_metrics(
     out["AED_formula"] = (
         "identity_embedding" if embedding_apply is not None
         else "landmark_proxy"
+    )
+    # Landmark-provider provenance: a center-prior fallback returns the
+    # SAME constant box for any undetected face, so a pair where both
+    # sides fell back contributes AKD 0 — report the fallback rate so a
+    # fallback-dominated AKD column is never read as real accuracy.
+    from megaportraits_tpu.data.landmarks import get_landmark_provider
+
+    prov = get_landmark_provider()
+    out["AKD_provider"] = (
+        f"{type(prov).__name__}"
+        + (f" (center_prior {prov.n_center_prior}, "
+           f"detected {prov.n_detected})"
+           if hasattr(prov, "n_center_prior") else "")
     )
     return out

@@ -66,13 +66,26 @@ def inference_base(
     model: Optional[Gbase] = None,
     size: Optional[Tuple[int, int]] = (512, 512),
     reference_normalize: bool = False,
+    bn_mode: str = "running",
 ) -> np.ndarray:
+    """Single-pair inference (reference inference.py:15-46).
+
+    bn_mode: 'running' = eval-mode BatchNorm (reference convention);
+    'batch' = normalize by the input's own batch statistics (the GAN-
+    generator convention). Checkpoints trained at small batch sizes carry
+    a large BN train/eval gap (the generator learns against per-batch
+    stats); 'batch' serves what the generator actually learned."""
     model = model or Gbase(policy=DEFAULT_POLICY)
     xs = load_image(source_image_path, size, reference_normalize)
     xd = load_image(driving_image_path, size, reference_normalize)
 
     @jax.jit
     def forward(variables, xs, xd):
+        if bn_mode == "batch":
+            (xhat, _), _ = model.apply(
+                variables, xs, xd, True, mutable=["batch_stats"]
+            )
+            return xhat
         xhat, _ = model.apply(variables, xs, xd)
         return xhat
 
@@ -85,7 +98,31 @@ def inference_base(
     return to_uint8(xhat)
 
 
-def main(cfg: Config):
+def main(cfg: Config = None):
+    if cfg is None:
+        # CLI entry (python -m megaportraits_tpu infer --config ...).
+        from megaportraits_tpu.core.debug import apply_platform_env
+
+        apply_platform_env()
+        parser = argparse.ArgumentParser(description="Inference script")
+        parser.add_argument("--config", type=str, required=True)
+        parser.add_argument(
+            "--reference-normalize", action="store_true",
+            help="reproduce the reference's [-1,1] input transform "
+                 "(for converted reference checkpoints)",
+        )
+        parser.add_argument(
+            "--bn-mode", choices=["running", "batch"], default=None,
+            help="BatchNorm stats: 'running' (eval-mode, reference "
+                 "convention) or 'batch' (per-input stats — the GAN "
+                 "convention; use for small-batch-trained checkpoints)",
+        )
+        args = parser.parse_args()
+        cfg = load_config(args.config)
+        if args.reference_normalize:
+            cfg.inference.reference_normalize = True
+        if args.bn_mode:
+            cfg.inference.bn_mode = args.bn_mode
     model = cfg.make_gbase()
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, cfg.data.train_height, cfg.data.train_width, 3),
@@ -115,21 +152,11 @@ def main(cfg: Config):
         model,
         size=(cfg.data.train_width, cfg.data.train_height),
         reference_normalize=cfg.inference.reference_normalize,
+        bn_mode=cfg.inference.bn_mode,
     )
     Image.fromarray(out).save(cfg.inference.output_image)
     print(f"wrote {cfg.inference.output_image}")
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser(description="Inference script")
-    parser.add_argument("--config", type=str, required=True)
-    parser.add_argument(
-        "--reference-normalize", action="store_true",
-        help="reproduce the reference's [-1,1] input transform "
-             "(for converted reference checkpoints)",
-    )
-    args = parser.parse_args()
-    cfg = load_config(args.config)
-    if args.reference_normalize:
-        cfg.inference.reference_normalize = True
-    main(cfg)
+    main()

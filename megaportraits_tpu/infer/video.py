@@ -71,6 +71,9 @@ def reenact_video(
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Video reenactment")
     parser.add_argument("--config", default="configs/inference/stage1-base.yaml")
     parser.add_argument("--source", required=True)

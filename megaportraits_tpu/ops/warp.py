@@ -71,6 +71,10 @@ def grid_sample_3d(
       impl: 'block' — ONE lax.gather of 2x2x2xC corner blocks per sample
             (8x fewer index records than the naive form, contiguous
             2*C-element x-runs; the default, ~35%% faster on TPU);
+            'block_xc' — same data as ONE gather of [2,2,2C] slices from
+            an x*C-merged volume (one fewer offset dim; layout candidate
+            for shaving XLA's gather-loop overhead — pallas/README.md
+            round-4 note);
             'corners' — 8 independent flat gathers (reference oracle).
 
     Returns:
@@ -78,6 +82,8 @@ def grid_sample_3d(
     """
     if impl == "block":
         return _grid_sample_3d_block(v, coords, align_corners)
+    if impl == "block_xc":
+        return _grid_sample_3d_block_xc(v, coords, align_corners)
     return _grid_sample_3d_corners(v, coords, align_corners)
 
 
@@ -179,6 +185,57 @@ def _grid_sample_3d_block(v, coords, align_corners=True):
     wx = jnp.stack([1.0 - tx, tx], axis=-1).reshape(b, n_out, 2)
     weights = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
                * wx[:, :, None, None, :])  # [B, N, 2, 2, 2]
+    out = jnp.sum(
+        blocks.astype(jnp.float32) * weights[..., None], axis=(2, 3, 4)
+    )
+    return out.reshape(b, do, ho, wo, c).astype(v.dtype)
+
+
+def _grid_sample_3d_block_xc(v, coords, align_corners=True):
+    """Corner-block gather from an x*C-merged volume: slices [1,2,2,2C]
+    at start (b, z0, y0, x0*C). Identical bytes to 'block' (the x-run IS
+    contiguous 2C elements in row-major [B,D,H,W,C]); one fewer offset
+    dimension in the gather — a layout candidate for XLA's gather-loop
+    overhead (the measured 1.1-1.8 ms vs ~0.13 ms roofline gap)."""
+    b, d, h, w, c = v.shape
+    _, do, ho, wo, _ = coords.shape
+    xp, yp, zp = _corner_setup(v, coords, align_corners)
+
+    x0i = jnp.clip(jnp.floor(xp).astype(jnp.int32), 0, max(w - 2, 0))
+    y0i = jnp.clip(jnp.floor(yp).astype(jnp.int32), 0, max(h - 2, 0))
+    z0i = jnp.clip(jnp.floor(zp).astype(jnp.int32), 0, max(d - 2, 0))
+    tx = xp - x0i
+    ty = yp - y0i
+    tz = zp - z0i
+
+    n_out = do * ho * wo
+    starts = jnp.stack(
+        [z0i.reshape(b, n_out), y0i.reshape(b, n_out),
+         (x0i * c).reshape(b, n_out)],
+        axis=-1,
+    )  # [B, N, 3]
+
+    v_xc = v.reshape(b, d, h, w * c)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    blocks = jax.lax.gather(
+        v_xc,
+        starts,
+        dimension_numbers=dnums,
+        slice_sizes=(1, 2, 2, 2 * c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(b, n_out, 2, 2, 2, c)
+
+    wz = jnp.stack([1.0 - tz, tz], axis=-1).reshape(b, n_out, 2)
+    wy = jnp.stack([1.0 - ty, ty], axis=-1).reshape(b, n_out, 2)
+    wx = jnp.stack([1.0 - tx, tx], axis=-1).reshape(b, n_out, 2)
+    weights = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+               * wx[:, :, None, None, :])
     out = jnp.sum(
         blocks.astype(jnp.float32) * weights[..., None], axis=(2, 3, 4)
     )

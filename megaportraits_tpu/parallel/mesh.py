@@ -56,7 +56,21 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
     written for a pod slice must still bring up a valid (smaller) mesh on a
     single chip or a virtual CPU mesh.
     """
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        # Probe before touching jax.devices(): the axon plugin HANGS it
+        # (no error) while its tunnel is down, which stalled training
+        # drivers for an hour+ (observed round 4). bench/__graft_entry__
+        # already fail fast; this is the chokepoint for the drivers.
+        from megaportraits_tpu.core.debug import probe_device_count
+
+        if probe_device_count(timeout_s=120.0) is None:
+            raise RuntimeError(
+                "device backend unavailable (jax.devices() hung or failed "
+                "within 120s — axon tunnel down?). For CPU-only runs set "
+                "jax.config.update('jax_platforms', 'cpu') before any "
+                "device use."
+            )
+        devices = jax.devices()
     if not shape:
         shape = {DATA_AXIS: len(devices)}
     if strict:
@@ -98,6 +112,16 @@ def check_per_chip_batch(global_batch: int, mesh: Mesh) -> int:
     # ceiling (e.g. batch 12 over data=8 -> shards of 2), which is what
     # the conv regime sees.
     per_chip = max(1, -(-global_batch // data))
+    if global_batch % data != 0:
+        import warnings
+
+        warnings.warn(
+            f"global batch {global_batch} does not divide the data-axis "
+            f"size {data}: jax.sharding cannot shard it evenly — the step "
+            f"will fail (or pad) at the sharding layer. Use a multiple of "
+            f"the data-axis size.",
+            stacklevel=2,
+        )
     if 2 <= per_chip <= 7:
         import warnings
 

@@ -129,6 +129,9 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/training/stage1-base.yaml")
     parser.add_argument("--max-steps", type=int, default=None)

@@ -132,6 +132,9 @@ def train_hr(cfg: Config, max_steps: int | None = None,
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/training/stage2-hr.yaml")
     parser.add_argument("--max-steps", type=int, default=None)

@@ -103,8 +103,12 @@ def train_student(cfg: Config, max_steps: int | None = None,
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", default="configs/training/stage2-hr.yaml")
+    parser.add_argument("--config",
+                        default="configs/training/stage3-student.yaml")
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--teacher-ckpt", default=None)
     args = parser.parse_args()

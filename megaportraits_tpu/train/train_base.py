@@ -92,8 +92,10 @@ def init_states(
     arch = get_arch(cfg.model.arch)
     gbase = cfg.make_gbase(policy=policy, remat=remat_mode)
     disc = Discriminator(policy=policy, arch=arch)
+    # Weights pinned to the reference ctor (model.py:1929):
+    # {'vgg19': 20, 'vggface': 5, 'gaze': 4, 'lpips': 10}.
     ploss = PerceptualLoss(
-        weights={"vgg19": 20.0, "vggface": 4.0, "gaze": 5.0, "lpips": 10.0},
+        weights={"vgg19": 20.0, "vggface": 5.0, "gaze": 4.0, "lpips": 10.0},
         policy=policy,
         arch=arch,
     )
@@ -230,12 +232,19 @@ def make_train_step(
             new_stats = g_state.batch_stats
 
             def run(*args, method=None):
-                nonlocal new_stats
+                # Thread batch_stats BETWEEN calls: Flax returns untouched
+                # submodules at their input values, so applying every call
+                # against the original stats would keep only the last
+                # call's updates (appearance/synthesis BN stats frozen at
+                # init forever). Each mutable apply reads the previous
+                # call's merged stats and merges its own updates back.
+                nonlocal new_stats, variables
                 out = gbase.apply(variables, *args, method=method,
                                   mutable=mutable)
                 if mutable:
                     out, new_vars = out
                     new_stats = new_vars.get("batch_stats")
+                    variables = {**variables, "batch_stats": new_stats}
                 return out
 
             b = xs.shape[0]

@@ -89,7 +89,8 @@ def make_student_train_step(
 
 
 def make_teacher_forward(teacher: GHR, teacher_variables: Any,
-                         include_enh: bool = True):
+                         include_enh: bool = True,
+                         bn_mode: str = "running"):
     """Frozen-teacher forward returning [0,1] targets, compiled as TWO
     graphs (Gbase, then Genh) on standalone module bindings: the fused
     GHR graph (and even its method-scoped halves) reliably crashes the
@@ -100,7 +101,13 @@ def make_teacher_forward(teacher: GHR, teacher_variables: Any,
     With ``include_enh=False`` the Genh stage is skipped and the Gbase
     output ([0,1] sigmoid) is the target directly — use when no trained
     Genh exists: a RANDOM Genh collapses the target distribution to
-    near-constant and makes any student 'perfect' (round-3 finding)."""
+    near-constant and makes any student 'perfect' (round-3 finding).
+
+    ``bn_mode='batch'`` runs the teacher's BatchNorms on the input's own
+    batch statistics (GAN-generator convention): small-batch-trained
+    Gbase checkpoints carry a train/eval BN gap large enough that
+    running-stats teacher output is a washed near-constant — the OTHER
+    cause of round 3's vacuous gray distillation targets."""
     from megaportraits_tpu.models.gbase import Gbase
     from megaportraits_tpu.models.genh import Genh
 
@@ -125,6 +132,11 @@ def make_teacher_forward(teacher: GHR, teacher_variables: Any,
     # compile failure.
     @jax.jit
     def base_fwd(variables, xs, xd):
+        if bn_mode == "batch":
+            (xhat, _), _ = base.apply(
+                variables, xs, xd, True, mutable=["batch_stats"]
+            )
+            return xhat
         xhat, _ = base.apply(variables, xs, xd)
         return xhat
 

@@ -26,6 +26,9 @@ from megaportraits_tpu.utils.image import save_image
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--steps", type=int, default=60)
@@ -47,6 +50,18 @@ def main():
         help="Orbax export dir for the trained Gbase variables "
              "({'g_variables': ...}, the main_base export schema) — feeds "
              "validate_student/eval runs",
+    )
+    parser.add_argument(
+        "--eval-every", type=int, default=0,
+        help="held-out self-reenactment PSNR every N steps; keeps the "
+             "best-PSNR snapshot and exports THAT (early stopping — the "
+             "round-3 overtraining study shows ~600 steps is the cliff at "
+             "4-clip scale; VERDICT r3 item 1a)",
+    )
+    parser.add_argument(
+        "--holdout", type=int, default=4,
+        help="frames reserved per clip as the held-out eval tail "
+             "(excluded from training batches when --eval-every is set)",
     )
     args = parser.parse_args()
 
@@ -77,8 +92,57 @@ def main():
     step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False,
                            pool_index=bool(args.pool))
 
-    batches = dataset.frame_batches(args.batch, frame_offset=3, seed=0)
+    holdout = args.holdout if args.eval_every else 0
+    batches = dataset.frame_batches(args.batch, frame_offset=3, seed=0,
+                                    holdout=holdout)
     first_g = None
+
+    # Held-out self-reenactment eval: source = a training frame of the
+    # clip, driving = frames from the reserved tail, target = the driving
+    # frame itself. Eval-mode forward (running BN stats — correct now that
+    # the train step threads stats through every submodule).
+    eval_pairs = []
+    if args.eval_every:
+        for vid in dataset.video_ids:
+            frames = dataset.load_and_process_video(vid)["source_frames"]
+            if len(frames) <= holdout:
+                continue
+            for t in range(holdout):
+                eval_pairs.append((frames[0], frames[len(frames) - holdout + t]))
+        eval_src = np.stack([p[0] for p in eval_pairs])
+        eval_drv = np.stack([p[1] for p in eval_pairs])
+        # Batch-stat BN for the held-out forward (the GAN-generator
+        # convention): at small batch/data scale the BN train/eval gap is
+        # large enough that running-stats output is a washed blob — an
+        # eval-mode PSNR would early-stop on noise (measured, gallery
+        # round 4). Serving uses the same mode (inference bn_mode).
+        eval_fwd = jax.jit(
+            lambda v, a, b: gbase.apply(
+                v, a, b, True, mutable=["batch_stats"]
+            )[0][0]
+        )
+
+        def heldout_psnr(g_state):
+            v = {"params": g_state.params}
+            if g_state.batch_stats is not None:
+                v["batch_stats"] = g_state.batch_stats
+            psnrs = []
+            for s0 in range(0, len(eval_pairs), args.batch):
+                sl = slice(s0, s0 + args.batch)
+                if eval_src[sl].shape[0] != args.batch:
+                    break  # keep one jitted shape
+                pred = np.asarray(
+                    eval_fwd(v, eval_src[sl], eval_drv[sl]),
+                    dtype=np.float32,
+                )
+                mse = np.mean(
+                    (pred - eval_drv[sl].astype(np.float32)) ** 2,
+                    axis=(1, 2, 3),
+                )
+                psnrs.extend(10.0 * np.log10(1.0 / np.maximum(mse, 1e-10)))
+            return float(np.mean(psnrs))
+
+    best_psnr, best_snapshot, best_step = -1.0, None, 0
     if args.pool:
         import jax.numpy as jnp
 
@@ -109,21 +173,43 @@ def main():
                        f"output_images/overfit_pred_{i + 1}.png")
             save_image(driving_img,
                        f"output_images/overfit_target_{i + 1}.png")
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            psnr = heldout_psnr(g_state)
+            marker = ""
+            if psnr > best_psnr:
+                best_psnr, best_step = psnr, i + 1
+                best_snapshot = jax.device_get(
+                    {"params": g_state.params,
+                     **({"batch_stats": g_state.batch_stats}
+                        if g_state.batch_stats is not None else {})}
+                )
+                marker = "  <- best"
+            print(f"step {i + 1}: held-out self-PSNR {psnr:.2f} dB{marker} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
     final_g = float(metrics["loss_G"])
     print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "
           f"({'DECREASED' if final_g < first_g else 'NOT DECREASED'})",
           flush=True)
+    if best_snapshot is not None:
+        print(f"best held-out self-PSNR {best_psnr:.2f} dB at step "
+              f"{best_step} (exporting THAT snapshot)", flush=True)
 
     if args.export:
         from megaportraits_tpu.core.checkpoint import CheckpointManager
 
-        g_variables = {"params": g_state.params}
-        if g_state.batch_stats is not None:
-            g_variables["batch_stats"] = g_state.batch_stats
+        if best_snapshot is not None:
+            g_variables = best_snapshot
+            export_step = best_step
+        else:
+            g_variables = {"params": g_state.params}
+            if g_state.batch_stats is not None:
+                g_variables["batch_stats"] = g_state.batch_stats
+            export_step = args.steps
         mgr = CheckpointManager(args.export)
-        mgr.save(args.steps, {"g_variables": g_variables}, wait=True)
+        mgr.save(export_step, {"g_variables": g_variables}, wait=True)
         mgr.close()
-        print(f"exported trained Gbase to {args.export}", flush=True)
+        print(f"exported trained Gbase (step {export_step}) to "
+              f"{args.export}", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,9 @@ import numpy as np
 
 
 def main():
+    from megaportraits_tpu.core.debug import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=300)
@@ -102,8 +105,12 @@ def main():
     student, state = init_student_state(cfg, rng, policy, args.size)
     step = make_student_train_step(student, teacher, t_vars, cfg,
                                    donate=False)
+    # batch-BN teacher: a small-batch-trained Gbase served with running
+    # stats outputs a washed near-constant (BN train/eval gap — the other
+    # cause of round 3's gray targets, besides the random Genh).
     teacher_fwd = make_teacher_forward(teacher, t_vars,
-                                       include_enh=include_enh)
+                                       include_enh=include_enh,
+                                       bn_mode="batch")
 
     rngn = np.random.default_rng(0)
     t0 = time.time()

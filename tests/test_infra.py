@@ -30,6 +30,22 @@ def test_config_loads_reference_schema(tmp_path):
     assert cfg2.data.train_width == 512
 
 
+def test_stage3_student_config_roundtrip():
+    """The checked-in stage-3 yaml loads and is the train-student CLI
+    default (VERDICT r3 item 8; the reference ships no stage-3 config —
+    its trainer hardcodes everything, train_student.py:365-403)."""
+    cfg = load_config("configs/training/stage3-student.yaml")
+    assert cfg.data.train_width == 512
+    assert cfg.training.student_epochs == 100
+    assert cfg.training.num_avatars == 4
+    assert cfg.training.checkpoint_path == "./checkpoints/stage3"
+    # CLI default wiring.
+    import megaportraits_tpu.train.main_student as ms
+    import inspect
+
+    assert "stage3-student.yaml" in inspect.getsource(ms.main)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tx = make_optimizer(1e-4, 10)
     params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}

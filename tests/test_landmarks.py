@@ -17,6 +17,23 @@ from megaportraits_tpu.models.fan import (
 KEY = jax.random.PRNGKey(0)
 
 
+def test_box_provider_center_prior_fallback():
+    """A face-free frame (uniform gray): the default provider returns the
+    labeled center-prior box instead of None (VERDICT r3 item 6 — the
+    committed eval table's AKD/AED were n/a), with the fallback counted;
+    disabling the fallback restores the None contract."""
+    from megaportraits_tpu.data.landmarks import BoxLandmarkProvider
+
+    gray = np.full((128, 128, 3), 0.5, np.float32)
+    prov = BoxLandmarkProvider()
+    lm = prov.detect(gray)
+    assert lm is not None and lm.shape == (5, 2)
+    assert prov.n_center_prior == 1 and prov.n_detected == 0
+    # Constant geometry: a second face-free frame yields identical points.
+    np.testing.assert_array_equal(lm, prov.detect(gray * 0.9))
+    assert BoxLandmarkProvider(center_prior_fallback=False).detect(gray) is None
+
+
 def test_heatmap_decode_subpixel():
     """Peak at (x=10, y=20) with a hotter right neighbor -> x + 0.25."""
     hm = np.zeros((1, 64, 64, 68), np.float32)

@@ -193,10 +193,12 @@ def test_compute_rt_warp_matches_reference_math():
 
 
 @pytest.mark.parametrize("align", [True])
-def test_grid_sample_3d_matches_torch(align):
+@pytest.mark.parametrize("impl", ["block", "block_xc", "corners"])
+def test_grid_sample_3d_matches_torch(align, impl):
     v = RNG.standard_normal((2, 5, 7, 6, 4), dtype=np.float32)
     coords = RNG.uniform(-1.4, 1.4, size=(2, 3, 4, 5, 3)).astype(np.float32)
-    got = grid_sample_3d(jnp.asarray(v), jnp.asarray(coords), align_corners=align)
+    got = grid_sample_3d(jnp.asarray(v), jnp.asarray(coords),
+                         align_corners=align, impl=impl)
     ref = F.grid_sample(
         torch.from_numpy(v).permute(0, 4, 1, 2, 3),
         torch.from_numpy(coords),

@@ -156,6 +156,68 @@ def test_data_parallel_grads_match_single_device():
                                    rtol=1e-4, atol=atol)
 
 
+def test_loss_weight_parity_with_reference():
+    """Pin every stage-1 loss weight to the reference's literals (VERDICT
+    r3 item 4: the vggface/gaze swap at train_base.py:96 is exactly the
+    drift this test exists to catch).
+
+    Reference table: PerceptualLoss ctor model.py:1929
+    {'vgg19': 20, 'vggface': 5, 'gaze': 4, 'lpips': 10}; train-step
+    weights configs/training/stage1-base.yaml:34-40."""
+    from megaportraits_tpu.train.train_base import init_states
+
+    cfg = _cfg()
+    cfg.model.arch = "tiny"
+    _, _, ploss, _, _, _ = init_states(
+        cfg, jax.random.PRNGKey(0), policy=FP32_POLICY, image_size=32,
+        fast_init=True,
+    )
+    assert ploss.weights == {
+        "vgg19": 20.0, "vggface": 5.0, "gaze": 4.0, "lpips": 10.0
+    }
+    t = cfg.training
+    assert (t.w_per, t.w_adv, t.w_fm, t.w_cos, t.w_pairwise,
+            t.w_identity) == (20.0, 1.0, 40.0, 2.0, 1.0, 1.0)
+
+
+@pytest.mark.slow
+def test_bn_stats_update_in_every_submodule():
+    """All BatchNorm running stats must change after one train step
+    (ADVICE r3 high: the batched g_loss_fn applied every run() against the
+    ORIGINAL stats, so only the last call's — motion-encoder-on-
+    predictions — updates survived; appearance/synthesis BN stayed frozen
+    at init, corrupting eval-mode inference from any checkpoint)."""
+    from megaportraits_tpu.train.train_base import init_states, make_train_step
+
+    cfg = _cfg()
+    cfg.model.arch = "tiny"
+    size = 32
+    gbase, disc, ploss, p_vars, g_state, d_state = init_states(
+        cfg, jax.random.PRNGKey(0), policy=FP32_POLICY, image_size=size
+    )
+    step = make_train_step(gbase, disc, ploss, p_vars, cfg, donate=False)
+    rng = np.random.default_rng(1)
+    img = lambda: rng.random((2, size, size, 3)).astype(np.float32)
+    batch = {k: img() for k in ("source", "driving", "source_next",
+                                "source_star", "driving_star")}
+    g2, _, _, _ = step(g_state, d_state, batch)
+    assert g_state.batch_stats is not None
+    # Every top-level submodule that owns BN stats must see at least one
+    # leaf change; before the fix only the LAST gbase.apply's submodule
+    # changed and the rest stayed bit-identical to init.
+    for name, before in g_state.batch_stats.items():
+        after = g2.batch_stats[name]
+        leaves_b = jax.tree_util.tree_leaves(before)
+        leaves_a = jax.tree_util.tree_leaves(after)
+        if not leaves_b:
+            continue
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_a, leaves_b)
+        )
+        assert changed, f"batch_stats['{name}'] frozen after a train step"
+
+
 @pytest.mark.slow
 def test_unrolled_train_step():
     """unroll>1: stacked batches run via lax.scan in one call."""

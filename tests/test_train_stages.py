@@ -126,6 +126,13 @@ def test_hr_train_step_sharded_tiny():
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss_hr"]))
     assert int(new_state.step) == 1
+    # 8-vs-1 numerical equivalence (VERDICT r3 item 7: liveness-only
+    # before): the sharded step must compute the same loss as the
+    # identical step on one device.
+    _, metrics_1 = step(jax.device_put(state, jax.devices()[0]),
+                        jax.device_put(batch, jax.devices()[0]))
+    np.testing.assert_allclose(float(metrics["loss_hr"]),
+                               float(metrics_1["loss_hr"]), rtol=1e-5)
 
 
 def test_student_train_step_sharded_tiny():
@@ -165,6 +172,11 @@ def test_student_train_step_sharded_tiny():
     new_state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss_student"]))
     assert int(new_state.step) == 1
+    # 8-vs-1 numerical equivalence (VERDICT r3 item 7).
+    _, metrics_1 = step(jax.device_put(state, jax.devices()[0]),
+                        jax.device_put(batch, jax.devices()[0]))
+    np.testing.assert_allclose(float(metrics["loss_student"]),
+                               float(metrics_1["loss_student"]), rtol=1e-5)
 
 
 def test_teacher_forward_base_only_tiny():
