@@ -41,6 +41,15 @@ def main():
     ap.add_argument("--video-dir", default="/root/reference/junk")
     ap.add_argument("--json-file", default="/root/reference/data/overfit.json")
     ap.add_argument("--pretrained", default="./pretrained")
+    ap.add_argument("--bn-mode", choices=["running", "batch"],
+                    default="running",
+                    help="BatchNorm stats for the forwards (see "
+                         "stage1_gallery.py --bn-mode; 'batch' for "
+                         "small-batch-trained checkpoints)")
+    ap.add_argument("--fp32", action="store_true",
+                    help="fp32 forwards (CPU hosts; bf16 full-arch "
+                         "forwards crash the remote compile service "
+                         "at 128-256px)")
     args = ap.parse_args()
 
     import jax
@@ -49,15 +58,16 @@ def main():
 
     from megaportraits_tpu.core.checkpoint import CheckpointManager
     from megaportraits_tpu.core.config import Config
-    from megaportraits_tpu.core.dtypes import DEFAULT_POLICY
+    from megaportraits_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
     from megaportraits_tpu.data.dataset import EMODataset
     from megaportraits_tpu.eval.metrics import evaluate_metrics
 
     t0 = time.time()
     cfg = Config()
     cfg.data.train_width = cfg.data.train_height = args.size
-    gbase = cfg.make_gbase(policy=DEFAULT_POLICY)
-    dummy = jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16)
+    policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
+    gbase = cfg.make_gbase(policy=policy)
+    dummy = jnp.zeros((1, args.size, args.size, 3), policy.compute_dtype)
     g_vars = jax.jit(gbase.init)(jax.random.PRNGKey(0), dummy, dummy)
     restored = None
     for path in (os.path.join(args.gbase_ckpt, "export"), args.gbase_ckpt):
@@ -97,8 +107,21 @@ def main():
     # compile, and this is the production serving path anyway.
     from megaportraits_tpu.models.gbase import Gbase as _G
 
-    encode = jax.jit(lambda v, x: gbase.apply(v, x, method=_G.encode_source))
-    drive = jax.jit(lambda v, s, xd: gbase.apply(v, s, xd, method=_G.drive))
+    if args.bn_mode == "batch":
+        # Per-input batch statistics (see stage1_gallery.py --bn-mode):
+        # small-batch-trained checkpoints are served this way.
+        encode = jax.jit(lambda v, x: gbase.apply(
+            v, x, True, method=_G.encode_source,
+            mutable=["batch_stats"])[0])
+        drive = jax.jit(lambda v, s, xd: gbase.apply(
+            v, s, xd, True, method=_G.drive, mutable=["batch_stats"])[0])
+    else:
+        encode = jax.jit(
+            lambda v, x: gbase.apply(v, x, method=_G.encode_source)
+        )
+        drive = jax.jit(
+            lambda v, s, xd: gbase.apply(v, s, xd, method=_G.drive)
+        )
 
     def fwd_factory(v, xs):
         state = encode(v, xs)
@@ -117,13 +140,13 @@ def main():
                 np.uint8)
         ).save(path)
 
-    src = jnp.asarray(frames[0])[None].astype(jnp.bfloat16)
-    src_star = jnp.asarray(frames_star[0])[None].astype(jnp.bfloat16)
+    src = jnp.asarray(frames[0])[None].astype(policy.compute_dtype)
+    src_star = jnp.asarray(frames_star[0])[None].astype(policy.compute_dtype)
     fwd_self = fwd_factory(g_vars, src)
     fwd_cross = fwd_factory(g_vars, src_star)
     for k in range(args.pairs):
         drv_np = frames[(k + 1) % len(frames)]
-        drv = jnp.asarray(drv_np)[None].astype(jnp.bfloat16)
+        drv = jnp.asarray(drv_np)[None].astype(policy.compute_dtype)
         pred = np.asarray(fwd_self(drv), np.float32)[0]
         cross = np.asarray(fwd_cross(drv), np.float32)[0]
         save(pred, os.path.join(pred_dir, f"pred_frame_{k}.png"))
