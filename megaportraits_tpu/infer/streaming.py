@@ -20,17 +20,34 @@ from megaportraits_tpu.models.gbase import Gbase
 
 class ReenactmentSession:
     def __init__(self, variables: Any, model: Optional[Gbase] = None,
-                 policy: Policy = DEFAULT_POLICY):
+                 policy: Policy = DEFAULT_POLICY, bn_mode: str = "running"):
+        """bn_mode: 'running' = eval-mode BatchNorm (reference
+        convention); 'batch' = per-input batch statistics (the GAN
+        convention — what small-batch-trained checkpoints need; see
+        benchmarks/stage1_quality/README.md)."""
         self.model = model or Gbase(policy=policy)
         self.variables = variables
-        self._encode = jax.jit(
-            lambda v, xs: self.model.apply(v, xs, method=Gbase.encode_source)
-        )
-        self._drive = jax.jit(
-            lambda v, state, xd: self.model.apply(
-                v, state, xd, method=Gbase.drive
+        if bn_mode == "batch":
+            self._encode = jax.jit(
+                lambda v, xs: self.model.apply(
+                    v, xs, True, method=Gbase.encode_source,
+                    mutable=["batch_stats"])[0]
             )
-        )
+            self._drive = jax.jit(
+                lambda v, state, xd: self.model.apply(
+                    v, state, xd, True, method=Gbase.drive,
+                    mutable=["batch_stats"])[0]
+            )
+        else:
+            self._encode = jax.jit(
+                lambda v, xs: self.model.apply(
+                    v, xs, method=Gbase.encode_source)
+            )
+            self._drive = jax.jit(
+                lambda v, state, xd: self.model.apply(
+                    v, state, xd, method=Gbase.drive
+                )
+            )
         self.source_state = None
 
     def set_source(self, xs: jnp.ndarray) -> None:

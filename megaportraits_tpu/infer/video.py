@@ -32,6 +32,7 @@ def reenact_video(
     max_frames: Optional[int] = None,
     reference_normalize: bool = False,
     model: Optional[Gbase] = None,
+    bn_mode: str = "running",
 ) -> int:
     """Returns the number of frames written.
 
@@ -41,7 +42,7 @@ def reenact_video(
     """
     import cv2
 
-    session = ReenactmentSession(variables, model=model)
+    session = ReenactmentSession(variables, model=model, bn_mode=bn_mode)
     session.set_source(
         load_image(source_image_path, (size, size), reference_normalize)
     )
@@ -81,6 +82,11 @@ def main():
     parser.add_argument("--output", default="reenacted.mp4")
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument(
+        "--bn-mode", choices=["running", "batch"], default="running",
+        help="BatchNorm stats: 'batch' for small-batch-trained "
+             "checkpoints (see benchmarks/stage1_quality/README.md)",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -94,7 +100,7 @@ def main():
     n = reenact_video(args.source, args.driving, args.output, variables,
                       size=args.size, max_frames=args.max_frames,
                       reference_normalize=cfg.inference.reference_normalize,
-                      model=model)
+                      model=model, bn_mode=args.bn_mode)
     print(f"wrote {n} frames to {args.output}")
 
 
