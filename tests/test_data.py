@@ -93,6 +93,26 @@ def test_frame_batches_cross_frame_indices_differ(video_dir):
         assert np.all(src_idx != drv_idx), (src_idx, drv_idx)
 
 
+def test_frame_batches_holdout_excludes_tail(video_dir):
+    """holdout=k: the LAST k frames of every clip never appear in any
+    batch field (the held-out eval tail for early stopping)."""
+    ds = _make(video_dir)
+    n, holdout = 6, 2
+    for vid in ds.video_ids:
+        frames = np.zeros((n, 64, 64, 3), np.float32)
+        for i in range(n):
+            frames[i] = i / float(n)
+        ds._cache[vid] = {"source_frames": frames, "driving_frames": frames}
+    it = ds.frame_batches(batch_size=4, frame_offset=1, seed=5,
+                          holdout=holdout)
+    for _ in range(12):
+        batch = next(it)
+        for key in ("source", "driving", "source_next", "source_star",
+                    "driving_star"):
+            idx = np.round(batch[key][:, 0, 0, 0] * n).astype(int)
+            assert np.all(idx < n - holdout), (key, idx)
+
+
 def test_separate_video_driving_mode(video_dir):
     """Reference-parity mode: TWO shared driving videos drawn independently
     at init (random.choice twice, EmoDataset.py:50,57); every item returns
