@@ -63,6 +63,13 @@ class TrainingConfig:
     # train_highres.py:244-248 via DeepLabV3; our provider-pluggable
     # data/segmentation.py). Batches must carry 'foreground_mask'.
     use_foreground_mask: bool = False
+    # Opt-in gaze term (reference train_highres.py:164-207 wires MediaPipe
+    # gaze into the legacy trainer; effectively disabled in the canonical
+    # path, model.py:1961,1971). TPU split: the host supplies per-batch
+    # eye-region masks (losses/gaze.gaze_masks_for_batch, needs a 68-point
+    # landmark provider); the jitted step applies the masked-MSE term
+    # weighted by lambda_gaze.
+    use_gaze_loss: bool = False
     # TPU-native additions (no reference counterpart).
     # Orbax bundle from scripts/convert_weights.py; loaded when the
     # directory exists (frozen loss backbones + SixDRepNet + resnet18

@@ -100,6 +100,37 @@ def mp_gaze_loss(
     return left + right
 
 
+def gaze_masks_for_batch(images: np.ndarray) -> Optional[np.ndarray]:
+    """Host helper for the train-step gaze term: detect landmarks on each
+    [H, W, 3] frame with the installed provider and rasterize left/right
+    eye-region masks.
+
+    Returns [B, H, W, 2] float32 (channel 0 = left eye, 1 = right eye),
+    or None when the provider yields no 68-point landmarks (box proxies
+    carry no eye geometry — the term should then be skipped, matching
+    the reference where MediaPipe gaze is effectively disabled,
+    model.py:1961,1971)."""
+    from megaportraits_tpu.data.landmarks import (
+        LEFT_EYE, RIGHT_EYE, get_landmark_provider,
+    )
+
+    provider = get_landmark_provider()
+    if getattr(provider, "num_points", 0) < 68:
+        return None
+    b, h, w = images.shape[:3]
+    out = np.zeros((b, h, w, 2), np.float32)
+    for i in range(b):
+        lm = provider.detect(images[i])
+        if lm is None or lm.shape[0] < 68:
+            return None
+        for ch, idx in ((0, LEFT_EYE), (1, RIGHT_EYE)):
+            pts = lm[list(idx)].astype(np.int32)
+            out[i, :, :, ch:ch + 1] = eye_masks_from_landmarks(
+                [tuple(p) for p in pts], h, w
+            )
+    return out
+
+
 def eye_masks_from_landmarks(
     landmarks_px: Sequence[Tuple[int, int]],
     height: int,

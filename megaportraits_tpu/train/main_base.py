@@ -82,6 +82,40 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
         seed=cfg.training.seed,
     )
 
+    if cfg.training.use_gaze_loss:
+        # Host side of the opt-in gaze term: rasterize eye masks from the
+        # driving frames with the installed 68-point landmark provider.
+        # Without one (no converted FAN weights) the term is skipped —
+        # matching the reference, where gaze is effectively disabled in
+        # the canonical path (model.py:1961,1971).
+        from megaportraits_tpu.losses.gaze import gaze_masks_for_batch
+
+        def with_gaze(it):
+            warned = False
+            had_masks = False
+            for b in it:
+                masks = gaze_masks_for_batch(b["driving"])
+                if masks is None:
+                    if had_masks:
+                        # Keep the batch structure stable once the jitted
+                        # step has seen masks (avoids a retrace): a zero
+                        # mask zeroes the term for this batch.
+                        d = b["driving"]
+                        b["gaze_masks"] = np.zeros(
+                            (*d.shape[:3], 2), np.float32
+                        )
+                    elif not warned:
+                        print("use_gaze_loss: no 68-point landmark "
+                              "provider (converted FAN weights absent) — "
+                              "gaze term skipped")
+                        warned = True
+                else:
+                    had_masks = True
+                    b["gaze_masks"] = masks
+                yield b
+
+        raw_batches = with_gaze(raw_batches)
+
     def grouped():
         if unroll == 1:
             yield from raw_batches

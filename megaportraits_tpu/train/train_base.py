@@ -201,6 +201,14 @@ def make_train_step(
             batch.get("foreground_mask")
             if t.use_foreground_mask else None
         )
+        # Opt-in gaze term: [B, H, W, 2] host-rasterized left/right
+        # eye-region masks (losses/gaze.gaze_masks_for_batch); per-eye
+        # masked MSE between prediction and driving frame
+        # (reference MPGazeLoss, model.py:1830-1880 / legacy trainer
+        # train_highres.py:164-207).
+        gaze_masks = (
+            batch.get("gaze_masks") if t.use_gaze_loss else None
+        )
 
         # ------------------------------------------------------------------
         # Generator loss (captures everything that needs G gradients).
@@ -342,6 +350,15 @@ def make_train_step(
                 + w["pairwise"] * loss_pairwise
                 + w["identity"] * loss_identity
             )
+            loss_gaze = jnp.float32(0.0)
+            if gaze_masks is not None:
+                from megaportraits_tpu.losses.gaze import mp_gaze_loss
+
+                m = gaze_masks.astype(jnp.float32)
+                loss_gaze = mp_gaze_loss(
+                    xhat, xd, m[..., 0:1], m[..., 1:2]
+                )
+                total = total + t.lambda_gaze * loss_gaze
             metrics = {
                 "loss_G": total,
                 "loss_G_per": loss_per,
@@ -350,6 +367,7 @@ def make_train_step(
                 "loss_G_cos": loss_cos,
                 "loss_pairwise": loss_pairwise,
                 "loss_identity": loss_identity,
+                "loss_G_gaze": loss_gaze,
             }
             return total, (metrics, new_stats, xhat)
 

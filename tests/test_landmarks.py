@@ -34,6 +34,40 @@ def test_box_provider_center_prior_fallback():
     assert BoxLandmarkProvider(center_prior_fallback=False).detect(gray) is None
 
 
+def test_gaze_masks_for_batch():
+    """Host-side eye-mask rasterization: None under the 5-point box proxy
+    (no eye geometry), real [B,H,W,2] masks under a 68-point provider."""
+    from megaportraits_tpu.data.landmarks import set_landmark_provider
+    from megaportraits_tpu.losses.gaze import gaze_masks_for_batch
+
+    imgs = np.full((2, 64, 64, 3), 0.5, np.float32)
+    set_landmark_provider(None)  # default: 5-point box proxy
+    assert gaze_masks_for_batch(imgs) is None
+
+    class Fake68:
+        is_proxy = False
+        num_points = 68
+
+        def detect(self, image):
+            lm = np.zeros((68, 2), np.float64)
+            # eye polygons: small boxes around (20,30) and (44,30)
+            for t, idx in ((20, range(36, 42)), (44, range(42, 48))):
+                for j, k in enumerate(idx):
+                    lm[k] = [t + (j % 3), 30 + (j // 3) * 2]
+            return lm
+
+    set_landmark_provider(Fake68())
+    try:
+        masks = gaze_masks_for_batch(imgs)
+        assert masks is not None and masks.shape == (2, 64, 64, 2)
+        assert masks.max() == 1.0 and masks.min() == 0.0
+        # Right eye (iBUG 36-41) rasterizes into channel 1's x~20 region.
+        assert masks[0, :, 15:26, 1].sum() > 0
+        assert masks[0, :, 40:50, 0].sum() > 0
+    finally:
+        set_landmark_provider(None)
+
+
 def test_heatmap_decode_subpixel():
     """Peak at (x=10, y=20) with a hotter right neighbor -> x + 0.25."""
     hm = np.zeros((1, 64, 64, 68), np.float32)
