@@ -63,7 +63,25 @@ def main():
         help="frames reserved per clip as the held-out eval tail "
              "(excluded from training batches when --eval-every is set)",
     )
+    parser.add_argument(
+        "--all-clips", action="store_true",
+        help="train on EVERY video in --video-dir instead of only the "
+             "clips listed in --json-file (overfit.json lists just one; "
+             "multi-identity data makes the star/cycle terms real and "
+             "gives the held-out eval >= one full batch of pairs)",
+    )
     args = parser.parse_args()
+
+    if args.all_clips:
+        # An empty clips dict makes EMODataset fall back to listing
+        # --video-dir (same trick as benchmarks/eval_table.py).
+        import json as _json
+        import tempfile
+
+        tmp_json = os.path.join(tempfile.gettempdir(), "overfit_all.json")
+        with open(tmp_json, "w") as f:
+            _json.dump({"clips": {}}, f)
+        args.json_file = tmp_json
 
     cache = "/tmp/megaportraits_cache"
     os.makedirs(cache, exist_ok=True)
@@ -129,17 +147,25 @@ def main():
             psnrs = []
             for s0 in range(0, len(eval_pairs), args.batch):
                 sl = slice(s0, s0 + args.batch)
-                if eval_src[sl].shape[0] != args.batch:
-                    break  # keep one jitted shape
-                pred = np.asarray(
-                    eval_fwd(v, eval_src[sl], eval_drv[sl]),
-                    dtype=np.float32,
-                )
+                src, drv = eval_src[sl], eval_drv[sl]
+                n_valid = src.shape[0]
+                if n_valid < args.batch:
+                    # Pad the tail slice by repetition to keep ONE jitted
+                    # shape (a second batch shape costs a full recompile
+                    # on the remote service); only valid rows are scored.
+                    pad = [(0, args.batch - n_valid)] + [(0, 0)] * 3
+                    src = np.pad(src, pad, mode="edge")
+                    drv = np.pad(drv, pad, mode="edge")
+                pred = np.asarray(eval_fwd(v, src, drv), dtype=np.float32)
                 mse = np.mean(
-                    (pred - eval_drv[sl].astype(np.float32)) ** 2,
+                    (pred[:n_valid] - drv[:n_valid].astype(np.float32)) ** 2,
                     axis=(1, 2, 3),
                 )
                 psnrs.extend(10.0 * np.log10(1.0 / np.maximum(mse, 1e-10)))
+            if not psnrs:
+                print("WARNING: no held-out eval pairs — check --holdout "
+                      "vs clip lengths", flush=True)
+                return float("-inf")
             return float(np.mean(psnrs))
 
     best_psnr, best_snapshot, best_step = -1.0, None, 0
