@@ -1,7 +1,8 @@
 """Per-component device-time microbenchmarks (slope method — see bench.py).
 
 Usage: python benchmarks/micro.py [component ...]
-Components: warp eapp emtn g3d g2d flow disc gbase
+Components: warp eapp emtn g3d g2d flow disc gbase student
+(student is opt-in: Student@1024 serving fps, not in the default sweep)
 """
 
 from __future__ import annotations
@@ -12,6 +13,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
+
+from megaportraits_tpu.core.debug import apply_platform_env
+
+apply_platform_env()
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +53,12 @@ def slope_time(fn, make_input, k_small=2, k_large=18, reps=3):
 
 
 def bench_warp():
-    from megaportraits_tpu.ops.warp import apply_warping_field
+    """Production-shape trilinear warp, one row per gather layout
+    (ops/warp.grid_sample_3d impl choices — the block_xc layout is the
+    round-4 candidate for shaving XLA's gather-loop overhead)."""
+    from megaportraits_tpu.ops.warp import grid_sample_3d
+    from megaportraits_tpu.ops.resize import linear_resize
+    from megaportraits_tpu.ops.warp import _identity_grid
 
     b, d, h, w, c = 1, 16, 64, 64, 96
     v = jax.random.normal(jax.random.PRNGKey(0), (b, d, h, w, c), jnp.bfloat16)
@@ -59,8 +69,44 @@ def bench_warp():
             minval=-1, maxval=1,
         )
 
-    t = slope_time(lambda f: apply_warping_field(v, f), make)
-    print(f"apply_warping_field [1,16,64,64,96]: {t * 1e3:.3f} ms")
+    def warp_with(impl):
+        def f(flow):
+            fl = linear_resize(flow, (d, h, w), axes=(1, 2, 3),
+                               align_corners=True)
+            grid = jnp.asarray(_identity_grid(d, h, w))[None]
+            warped = grid + fl.astype(jnp.float32)
+            norm = jnp.asarray([w - 1, h - 1, d - 1], dtype=jnp.float32)
+            warped = 2.0 * warped / norm - 1.0
+            return grid_sample_3d(v, warped, align_corners=True, impl=impl)
+
+        return f
+
+    for impl in ("block", "block_xc", "corners"):
+        t = slope_time(warp_with(impl), make)
+        print(f"apply_warping_field [1,16,64,64,96] impl={impl}: "
+              f"{t * 1e3:.3f} ms")
+
+
+def bench_student(size=1024):
+    """Student serving rate at the north-star resolution (the 56.4 fps
+    claim is a round-1 number measured on a since-revised design —
+    VERDICT r3 weak #7). Batch 1, streaming, eval-mode."""
+    from megaportraits_tpu.models.student import Student
+
+    student = Student(num_avatars=4, policy=P)
+    rng = jax.random.PRNGKey(0)
+    xd0 = jax.random.normal(rng, (1, size, size, 3), jnp.bfloat16)
+    av = jnp.zeros((1,), jnp.int32)
+    variables = jax.jit(student.init)(rng, xd0, av)
+
+    def make(k):
+        return jax.random.normal(
+            jax.random.PRNGKey(2), (k, 1, size, size, 3), jnp.bfloat16)
+
+    t = slope_time(lambda xd: student.apply(variables, xd, av), make,
+                   k_large=10)
+    print(f"Student [1,{size},{size},3]: {t * 1e3:.3f} ms/frame "
+          f"= {1.0 / t:.1f} fps/chip")
 
 
 def _bench_module(name, module, shapes, dtypes=None):
@@ -86,6 +132,8 @@ def main():
     for t in targets:
         if t == "warp":
             bench_warp()
+        elif t == "student":
+            bench_student()
         elif t == "flow":
             from megaportraits_tpu.models.warpgen import FlowField
             _bench_module("FlowField", FlowField(policy=P), [(1, 512)])
