@@ -77,6 +77,13 @@ class TrainingConfig:
     pretrained_path: str = "./pretrained"
     seed: int = 0
     use_bf16: bool = True
+    # Held-out early stopping (eval/heldout.py): every eval_interval
+    # steps score self-reenactment PSNR on holdout_frames reserved tail
+    # frames per clip and export the best-scoring snapshot. 0 = off
+    # (reference behavior: fixed epoch count, train.py:387-435 — which
+    # the round-3 overtraining study shows is unsafe at small data scale).
+    eval_interval: int = 0
+    holdout_frames: int = 4
     unroll_steps: int = 1  # train steps per device call (lax.scan)
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
     steps_per_epoch: Optional[int] = None

@@ -77,10 +77,24 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
     step_fn = make_train_step(gbase, disc, ploss, p_vars, cfg, unroll=unroll)
     writer = MetricsWriter()
 
+    holdout = cfg.training.holdout_frames if cfg.training.eval_interval else 0
     raw_batches = dataset.frame_batches(
         cfg.training.batch_size, cfg.training.frame_offset,
-        seed=cfg.training.seed,
+        seed=cfg.training.seed, holdout=holdout,
     )
+
+    evaluator = None
+    if cfg.training.eval_interval:
+        from megaportraits_tpu.eval.heldout import HeldoutEvaluator
+
+        clips = {
+            vid: dataset.load_and_process_video(vid)["source_frames"]
+            for vid in dataset.video_ids
+        }
+        evaluator = HeldoutEvaluator(
+            gbase, clips, holdout, cfg.training.batch_size)
+        print(f"held-out early stopping: {evaluator.n_pairs} eval pairs, "
+              f"every {cfg.training.eval_interval} steps")
 
     if cfg.training.use_gaze_loss:
         # Host side of the opt-in gaze term: rasterize eye masks from the
@@ -149,15 +163,30 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
                            f"output_images/pred_frame_{step_idx}.png")
         if step_idx % cfg.training.save_interval < unroll:
             ckpt.save(step_idx, {"g": g_state, "d": d_state})
+        if evaluator is not None and (
+                step_idx % cfg.training.eval_interval < unroll):
+            score, improved = evaluator.consider(g_state, step_idx)
+            writer.write(step_idx, {"heldout_psnr": score})
+            print(f"step {step_idx}: held-out self-PSNR {score:.2f} dB"
+                  f"{'  <- best' if improved else ''}")
     ckpt.save(total_steps, {"g": g_state, "d": d_state}, wait=True)
 
     # Export inference payload (params + stats only — the reference's
-    # Gbase.pth equivalent, train.py:429).
+    # Gbase.pth equivalent, train.py:429). With early stopping on, the
+    # best-held-out-PSNR snapshot is exported instead of the final state.
     export = CheckpointManager(cfg.training.checkpoint_path + "/export")
-    g_variables = {"params": g_state.params}
-    if g_state.batch_stats is not None:
-        g_variables["batch_stats"] = g_state.batch_stats
-    export.save(total_steps, {"g_variables": g_variables}, wait=True)
+    export_step = total_steps
+    if evaluator is not None:
+        g_variables, best_step, is_best = evaluator.export_variables(g_state)
+        if is_best:
+            export_step = best_step
+            print(f"exporting best snapshot (step {best_step}, "
+                  f"held-out {evaluator.best_psnr:.2f} dB)")
+    else:
+        g_variables = {"params": g_state.params}
+        if g_state.batch_stats is not None:
+            g_variables["batch_stats"] = g_state.batch_stats
+    export.save(export_step, {"g_variables": g_variables}, wait=True)
     writer.close()
     return {k: float(v) for k, v in metrics.items()}
 

@@ -115,60 +115,21 @@ def main():
                                     holdout=holdout)
     first_g = None
 
-    # Held-out self-reenactment eval: source = a training frame of the
-    # clip, driving = frames from the reserved tail, target = the driving
-    # frame itself. Eval-mode forward (running BN stats — correct now that
-    # the train step threads stats through every submodule).
-    eval_pairs = []
+    # Held-out self-reenactment eval + best-snapshot early stopping
+    # (eval/heldout.py; batch-stat BN — the GAN-generator convention, see
+    # the module docstring and RESULTS.md round 4).
+    evaluator = None
     if args.eval_every:
-        for vid in dataset.video_ids:
-            frames = dataset.load_and_process_video(vid)["source_frames"]
-            if len(frames) <= holdout:
-                continue
-            for t in range(holdout):
-                eval_pairs.append((frames[0], frames[len(frames) - holdout + t]))
-        eval_src = np.stack([p[0] for p in eval_pairs])
-        eval_drv = np.stack([p[1] for p in eval_pairs])
-        # Batch-stat BN for the held-out forward (the GAN-generator
-        # convention): at small batch/data scale the BN train/eval gap is
-        # large enough that running-stats output is a washed blob — an
-        # eval-mode PSNR would early-stop on noise (measured, gallery
-        # round 4). Serving uses the same mode (inference bn_mode).
-        eval_fwd = jax.jit(
-            lambda v, a, b: gbase.apply(
-                v, a, b, True, mutable=["batch_stats"]
-            )[0][0]
-        )
+        from megaportraits_tpu.eval.heldout import HeldoutEvaluator
 
-        def heldout_psnr(g_state):
-            v = {"params": g_state.params}
-            if g_state.batch_stats is not None:
-                v["batch_stats"] = g_state.batch_stats
-            psnrs = []
-            for s0 in range(0, len(eval_pairs), args.batch):
-                sl = slice(s0, s0 + args.batch)
-                src, drv = eval_src[sl], eval_drv[sl]
-                n_valid = src.shape[0]
-                if n_valid < args.batch:
-                    # Pad the tail slice by repetition to keep ONE jitted
-                    # shape (a second batch shape costs a full recompile
-                    # on the remote service); only valid rows are scored.
-                    pad = [(0, args.batch - n_valid)] + [(0, 0)] * 3
-                    src = np.pad(src, pad, mode="edge")
-                    drv = np.pad(drv, pad, mode="edge")
-                pred = np.asarray(eval_fwd(v, src, drv), dtype=np.float32)
-                mse = np.mean(
-                    (pred[:n_valid] - drv[:n_valid].astype(np.float32)) ** 2,
-                    axis=(1, 2, 3),
-                )
-                psnrs.extend(10.0 * np.log10(1.0 / np.maximum(mse, 1e-10)))
-            if not psnrs:
-                print("WARNING: no held-out eval pairs — check --holdout "
-                      "vs clip lengths", flush=True)
-                return float("-inf")
-            return float(np.mean(psnrs))
-
-    best_psnr, best_snapshot, best_step = -1.0, None, 0
+        clips = {
+            vid: dataset.load_and_process_video(vid)["source_frames"]
+            for vid in dataset.video_ids
+        }
+        evaluator = HeldoutEvaluator(gbase, clips, holdout, args.batch)
+        if not evaluator.n_pairs:
+            print("WARNING: no held-out eval pairs — check --holdout "
+                  "vs clip lengths", flush=True)
     if args.pool:
         import jax.numpy as jnp
 
@@ -199,38 +160,33 @@ def main():
                        f"output_images/overfit_pred_{i + 1}.png")
             save_image(driving_img,
                        f"output_images/overfit_target_{i + 1}.png")
-        if args.eval_every and (i + 1) % args.eval_every == 0:
-            psnr = heldout_psnr(g_state)
-            marker = ""
-            if psnr > best_psnr:
-                best_psnr, best_step = psnr, i + 1
-                best_snapshot = jax.device_get(
-                    {"params": g_state.params,
-                     **({"batch_stats": g_state.batch_stats}
-                        if g_state.batch_stats is not None else {})}
-                )
-                marker = "  <- best"
-            print(f"step {i + 1}: held-out self-PSNR {psnr:.2f} dB{marker} "
+        if evaluator is not None and (i + 1) % args.eval_every == 0:
+            psnr, improved = evaluator.consider(g_state, i + 1)
+            print(f"step {i + 1}: held-out self-PSNR {psnr:.2f} dB"
+                  f"{'  <- best' if improved else ''} "
                   f"({time.time() - t0:.1f}s)", flush=True)
     final_g = float(metrics["loss_G"])
     print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "
           f"({'DECREASED' if final_g < first_g else 'NOT DECREASED'})",
           flush=True)
-    if best_snapshot is not None:
-        print(f"best held-out self-PSNR {best_psnr:.2f} dB at step "
-              f"{best_step} (exporting THAT snapshot)", flush=True)
+    if evaluator is not None and evaluator.best_variables is not None:
+        print(f"best held-out self-PSNR {evaluator.best_psnr:.2f} dB at "
+              f"step {evaluator.best_step} (exporting THAT snapshot)",
+              flush=True)
 
     if args.export:
         from megaportraits_tpu.core.checkpoint import CheckpointManager
 
-        if best_snapshot is not None:
-            g_variables = best_snapshot
-            export_step = best_step
+        export_step = args.steps
+        if evaluator is not None:
+            g_variables, best_step, is_best = evaluator.export_variables(
+                g_state)
+            if is_best:
+                export_step = best_step
         else:
             g_variables = {"params": g_state.params}
             if g_state.batch_stats is not None:
                 g_variables["batch_stats"] = g_state.batch_stats
-            export_step = args.steps
         mgr = CheckpointManager(args.export)
         mgr.save(export_step, {"g_variables": g_variables}, wait=True)
         mgr.close()

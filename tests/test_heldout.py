@@ -1,0 +1,94 @@
+"""HeldoutEvaluator (eval/heldout.py): early-stopping evaluation used by
+scripts/overfit.py and train/main_base.py (training.eval_interval)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megaportraits_tpu.core.arch import TINY
+from megaportraits_tpu.core.dtypes import FP32_POLICY
+from megaportraits_tpu.eval.heldout import HeldoutEvaluator
+from megaportraits_tpu.models.gbase import Gbase
+
+
+class _FakeState:
+    def __init__(self, variables):
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
+
+
+def _tiny_gbase_and_state(size=32):
+    m = Gbase(policy=FP32_POLICY, arch=TINY)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x, x)
+    return m, _FakeState(v)
+
+
+def _clips(n_clips, n_frames, size=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        f"clip{i}": rng.uniform(
+            0, 1, size=(n_frames, size, size, 3)).astype(np.float32)
+        for i in range(n_clips)
+    }
+
+
+def test_pair_construction_and_finite_psnr():
+    gbase, state = _tiny_gbase_and_state()
+    # 2 clips x 8 frames, holdout 3 -> 6 pairs; batch 2 divides evenly.
+    ev = HeldoutEvaluator(gbase, _clips(2, 8), holdout=3, batch_size=2)
+    assert ev.n_pairs == 6
+    score = ev.psnr(state)
+    assert np.isfinite(score)
+
+
+def test_partial_tail_batch_is_padded_not_dropped():
+    gbase, state = _tiny_gbase_and_state()
+    # 1 clip x 8 frames, holdout 3 -> 3 pairs; batch 2 leaves a tail of 1.
+    ev = HeldoutEvaluator(gbase, _clips(1, 8), holdout=3, batch_size=2)
+    assert ev.n_pairs == 3
+    score3 = ev.psnr(state)
+    assert np.isfinite(score3)
+    # The padded row must NOT be scored: an evaluator over only the first
+    # 2 pairs (one full batch) gives a different mean unless pair 3
+    # contributed — check by constructing the 2-pair evaluator from the
+    # same clip but holdout 2 pairs... instead assert against a manual
+    # batch-1 evaluator over the same 3 pairs.
+    ev1 = HeldoutEvaluator(gbase, _clips(1, 8), holdout=3, batch_size=1)
+    # batch-stat BN makes scores batch-size-dependent in general, but at
+    # batch sizes 1 vs 2-with-pad the SAME pairs are scored; the check
+    # here is the count/NaN contract, not numeric equality.
+    assert np.isfinite(ev1.psnr(state))
+
+
+def test_no_pairs_returns_neg_inf_not_nan():
+    gbase, state = _tiny_gbase_and_state()
+    # Clips shorter than the holdout contribute nothing.
+    ev = HeldoutEvaluator(gbase, _clips(1, 3), holdout=4, batch_size=2)
+    assert ev.n_pairs == 0
+    assert ev.psnr(state) == float("-inf")
+    assert not np.isnan(ev.psnr(state))
+
+
+def test_consider_tracks_best_and_snapshots():
+    gbase, state = _tiny_gbase_and_state()
+    ev = HeldoutEvaluator(gbase, _clips(2, 8), holdout=2, batch_size=2)
+    score, improved = ev.consider(state, step=10)
+    assert improved and ev.best_step == 10 and ev.best_psnr == score
+    assert ev.best_variables is not None
+    # Same state again: same score, no improvement, snapshot kept.
+    score2, improved2 = ev.consider(state, step=20)
+    assert score2 == score and not improved2 and ev.best_step == 10
+
+    variables, step, is_best = ev.export_variables(state)
+    assert is_best and step == 10
+    # The snapshot is host-resident and structurally a variables dict.
+    assert "params" in variables
+
+
+def test_export_falls_back_to_current_state_without_best():
+    gbase, state = _tiny_gbase_and_state()
+    ev = HeldoutEvaluator(gbase, _clips(1, 3), holdout=4, batch_size=2)
+    variables, step, is_best = ev.export_variables(state)
+    assert not is_best and step == -1
+    assert "params" in variables
