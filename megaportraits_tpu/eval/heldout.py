@@ -4,59 +4,120 @@ The round-3 overtraining study (benchmarks/RESULTS.md) showed that at
 small data scale the stage-1 GAN keeps lowering its training loss while
 held-out reenactment quality DEGRADES past a cliff (~600 steps on the
 4-clip harness); no reference driver guards against this (train.py runs
-a fixed epoch count). This module gives every stage-1 driver the guard:
-reserve a tail of frames per clip, score self-reenactment PSNR on them
-every N steps, and keep the best-scoring snapshot for export.
+a fixed epoch count). This module gives the training drivers the guard:
+reserve a tail of frames per clip, score PSNR on them every N steps, and
+keep the best-scoring snapshot for export.
 
-Used by scripts/overfit.py and train/main_base.py
-(``training.eval_interval`` / ``training.holdout_frames``).
+Used by scripts/overfit.py and train/main_base.py (stage 1, via
+``HeldoutEvaluator.for_gbase``) and train/main_hr.py (stage 2, via
+``HeldoutEvaluator.for_genh``).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
 
 
 class HeldoutEvaluator:
-    """Score self-reenactment PSNR on reserved tail frames; track best.
+    """Score held-out PSNR with a model forward; track the best snapshot.
 
-    Eval pairs: source = the clip's first training frame, driving (and
-    target) = each reserved tail frame. The forward runs train-mode BN
-    with per-batch statistics (the GAN-generator convention; at small
+    The generic core takes a jitted ``fwd(variables, src, drv) -> pred``
+    plus aligned (src, drv, tgt) arrays; the ``for_*`` constructors build
+    the stage-specific forwards. Forwards run train-mode BN with
+    per-batch statistics (the GAN-generator convention; at small
     batch/data scale running-stats output is a washed blob and an
     eval-mode PSNR would early-stop on noise — RESULTS.md round 4).
     """
 
     def __init__(
         self,
-        gbase,
-        clips: Dict[str, np.ndarray],
-        holdout: int,
+        fwd: Callable,
+        src: np.ndarray,
+        drv: np.ndarray,
+        tgt: np.ndarray,
         batch_size: int,
     ):
+        self._fwd = fwd
+        self.src, self.drv, self.tgt = src, drv, tgt
+        self.n_pairs = int(src.shape[0]) if src.ndim > 1 else 0
         self.batch_size = batch_size
+        self.best_psnr: float = float("-inf")
+        self.best_step: int = 0
+        self.best_variables: Optional[dict] = None
+
+    # -- stage-specific constructors ------------------------------------
+
+    @staticmethod
+    def _tail_pairs(
+        clips: Dict[str, np.ndarray], holdout: int
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """(first training frame, reserved tail frame) per clip."""
         pairs: List[Tuple[np.ndarray, np.ndarray]] = []
         for frames in clips.values():
             if len(frames) <= holdout:
                 continue
             for t in range(holdout):
                 pairs.append((frames[0], frames[len(frames) - holdout + t]))
-        self.src = (np.stack([p[0] for p in pairs])
-                    if pairs else np.zeros((0,)))
-        self.drv = (np.stack([p[1] for p in pairs])
-                    if pairs else np.zeros((0,)))
-        self.n_pairs = len(pairs)
-        self._fwd = jax.jit(
+        return pairs
+
+    @classmethod
+    def for_gbase(cls, gbase, clips: Dict[str, np.ndarray], holdout: int,
+                  batch_size: int) -> "HeldoutEvaluator":
+        """Stage-1 self-reenactment: source = clip's first training frame,
+        driving (and target) = each reserved tail frame."""
+        pairs = cls._tail_pairs(clips, holdout)
+        if pairs:
+            src = np.stack([p[0] for p in pairs])
+            drv = np.stack([p[1] for p in pairs])
+        else:
+            src = drv = np.zeros((0,))
+        fwd = jax.jit(
             lambda v, a, b: gbase.apply(
                 v, a, b, True, mutable=["batch_stats"]
             )[0][0]
         )
-        self.best_psnr: float = float("-inf")
-        self.best_step: int = 0
-        self.best_variables: Optional[dict] = None
+        return cls(fwd, src, drv, drv, batch_size)
+
+    @classmethod
+    def for_genh(cls, genh, gbase, gbase_vars,
+                 clips_hr: Dict[str, np.ndarray], holdout: int,
+                 batch_size: int, base_size: int,
+                 upscale: int = 2) -> "HeldoutEvaluator":
+        """Stage-2 super-resolution self-reenactment: mirrors the HR train
+        step's composition (train_hr.py) — frozen eval-mode Gbase at base
+        resolution, bilinear x``upscale`` pre-upscale, train-mode Genh —
+        scored against the NATIVE-resolution tail frame."""
+        import cv2
+        import jax.numpy as jnp
+
+        from megaportraits_tpu.ops.resize import linear_resize
+
+        pairs = cls._tail_pairs(clips_hr, holdout)
+        if pairs:
+            tgt = np.stack([p[1] for p in pairs])
+            down = lambda f: cv2.resize(  # noqa: E731
+                f, (base_size, base_size), interpolation=cv2.INTER_AREA)
+            src = np.stack([down(p[0]) for p in pairs])
+            drv = np.stack([down(p[1]) for p in pairs])
+        else:
+            src = drv = tgt = np.zeros((0,))
+
+        def fwd(v, a, b):
+            xhat, _ = gbase.apply(gbase_vars, a, b)
+            if upscale != 1:
+                hr = [s * upscale for s in xhat.shape[1:3]]
+                xhat = linear_resize(xhat, hr, axes=(1, 2),
+                                     align_corners=False)
+            pred = genh.apply(v, xhat, True, mutable=["batch_stats"])[0]
+            # Genh outputs tanh [-1,1]; targets are [0,1].
+            return (pred.astype(jnp.float32) + 1.0) * 0.5
+
+        return cls(jax.jit(fwd), src, drv, tgt, batch_size)
+
+    # -- scoring / tracking ---------------------------------------------
 
     @staticmethod
     def variables_of(g_state) -> dict:
@@ -66,7 +127,7 @@ class HeldoutEvaluator:
         return v
 
     def psnr(self, g_state) -> float:
-        """Mean held-out self-reenactment PSNR (dB); -inf with no pairs."""
+        """Mean held-out PSNR (dB); -inf with no pairs."""
         if not self.n_pairs:
             return float("-inf")
         v = self.variables_of(g_state)
@@ -74,6 +135,7 @@ class HeldoutEvaluator:
         psnrs: List[float] = []
         for s0 in range(0, self.n_pairs, bs):
             src, drv = self.src[s0:s0 + bs], self.drv[s0:s0 + bs]
+            tgt = self.tgt[s0:s0 + bs]
             n_valid = src.shape[0]
             if n_valid < bs:
                 # Pad the tail slice by repetition to keep ONE jitted
@@ -84,7 +146,7 @@ class HeldoutEvaluator:
                 drv = np.pad(drv, pad, mode="edge")
             pred = np.asarray(self._fwd(v, src, drv), dtype=np.float32)
             mse = np.mean(
-                (pred[:n_valid] - drv[:n_valid].astype(np.float32)) ** 2,
+                (pred[:n_valid] - tgt[:n_valid].astype(np.float32)) ** 2,
                 axis=tuple(range(1, pred.ndim)),
             )
             psnrs.extend(10.0 * np.log10(1.0 / np.maximum(mse, 1e-10)))

@@ -91,7 +91,7 @@ def train_base(cfg: Config, max_steps: int | None = None) -> dict:
             vid: dataset.load_and_process_video(vid)["source_frames"]
             for vid in dataset.video_ids
         }
-        evaluator = HeldoutEvaluator(
+        evaluator = HeldoutEvaluator.for_gbase(
             gbase, clips, holdout, cfg.training.batch_size)
         print(f"held-out early stopping: {evaluator.n_pairs} eval pairs, "
               f"every {cfg.training.eval_interval} steps")

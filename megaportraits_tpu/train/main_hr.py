@@ -85,6 +85,27 @@ def train_hr(cfg: Config, max_steps: int | None = None,
     ckpt = CheckpointManager(cfg.training.checkpoint_path)
     writer = MetricsWriter("runs/hr_logs")
 
+    evaluator = None
+    holdout = cfg.training.holdout_frames if cfg.training.eval_interval else 0
+    if cfg.training.eval_interval and native_hr:
+        from megaportraits_tpu.eval.heldout import HeldoutEvaluator
+
+        clips_hr = {
+            vid: dataset.load_and_process_video(vid)["source_frames"]
+            for vid in dataset.video_ids
+        }
+        evaluator = HeldoutEvaluator.for_genh(
+            genh, gbase, gbase_vars, clips_hr, holdout,
+            cfg.training.batch_size, base_size=size, upscale=upscale,
+        )
+        print(f"held-out early stopping: {evaluator.n_pairs} eval pairs, "
+              f"every {cfg.training.eval_interval} steps")
+    elif cfg.training.eval_interval:
+        print("WARNING: eval_interval ignored — held-out HR eval needs "
+              "native_hr targets (synthetic targets carry no held-out "
+              "signal)")
+        holdout = 0
+
     def _downsample(frames: np.ndarray) -> np.ndarray:
         """Anti-aliased host-side downsample [B, H, W, 3] -> base size."""
         import cv2
@@ -97,7 +118,8 @@ def train_hr(cfg: Config, max_steps: int | None = None,
     def hr_batches():
         for batch in dataset.frame_batches(cfg.training.batch_size,
                                            cfg.training.frame_offset,
-                                           seed=cfg.training.seed):
+                                           seed=cfg.training.seed,
+                                           holdout=holdout):
             if native_hr:
                 # REAL super-resolution supervision: native-resolution
                 # driving frame is the target; Gbase sees anti-aliased
@@ -126,7 +148,31 @@ def train_hr(cfg: Config, max_steps: int | None = None,
                   f"({(step_idx + 1) / (time.time() - t0):.2f} it/s)")
         if (step_idx + 1) % cfg.training.save_interval == 0:
             ckpt.save(step_idx + 1, {"genh": state})
+        if evaluator is not None and (
+                step_idx + 1) % cfg.training.eval_interval == 0:
+            score, improved = evaluator.consider(state, step_idx + 1)
+            writer.write(step_idx, {"heldout_psnr": score})
+            print(f"hr step {step_idx + 1}: held-out HR PSNR {score:.2f} dB"
+                  f"{'  <- best' if improved else ''}")
     ckpt.save(total, {"genh": state}, wait=True)
+
+    # Export inference payload in the downstream convention
+    # ({'genh_variables': ...} — hr_quality.py --export-genh /
+    # validate_student --genh-ckpt). With early stopping on, the
+    # best-held-out-PSNR snapshot is exported instead of the final state.
+    export = CheckpointManager(cfg.training.checkpoint_path + "/export")
+    export_step = total
+    if evaluator is not None:
+        genh_variables, best_step, is_best = evaluator.export_variables(state)
+        if is_best:
+            export_step = best_step
+            print(f"exporting best snapshot (step {best_step}, "
+                  f"held-out {evaluator.best_psnr:.2f} dB)")
+    else:
+        genh_variables = {"params": state.params}
+        if state.batch_stats is not None:
+            genh_variables["batch_stats"] = state.batch_stats
+    export.save(export_step, {"genh_variables": genh_variables}, wait=True)
     writer.close()
     return {k: float(v) for k, v in metrics.items()}
 

@@ -126,7 +126,8 @@ def main():
             vid: dataset.load_and_process_video(vid)["source_frames"]
             for vid in dataset.video_ids
         }
-        evaluator = HeldoutEvaluator(gbase, clips, holdout, args.batch)
+        evaluator = HeldoutEvaluator.for_gbase(gbase, clips, holdout,
+                                               args.batch)
         if not evaluator.n_pairs:
             print("WARNING: no held-out eval pairs — check --holdout "
                   "vs clip lengths", flush=True)

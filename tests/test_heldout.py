@@ -36,7 +36,7 @@ def _clips(n_clips, n_frames, size=32, seed=0):
 def test_pair_construction_and_finite_psnr():
     gbase, state = _tiny_gbase_and_state()
     # 2 clips x 8 frames, holdout 3 -> 6 pairs; batch 2 divides evenly.
-    ev = HeldoutEvaluator(gbase, _clips(2, 8), holdout=3, batch_size=2)
+    ev = HeldoutEvaluator.for_gbase(gbase, _clips(2, 8), holdout=3, batch_size=2)
     assert ev.n_pairs == 6
     score = ev.psnr(state)
     assert np.isfinite(score)
@@ -45,7 +45,7 @@ def test_pair_construction_and_finite_psnr():
 def test_partial_tail_batch_is_padded_not_dropped():
     gbase, state = _tiny_gbase_and_state()
     # 1 clip x 8 frames, holdout 3 -> 3 pairs; batch 2 leaves a tail of 1.
-    ev = HeldoutEvaluator(gbase, _clips(1, 8), holdout=3, batch_size=2)
+    ev = HeldoutEvaluator.for_gbase(gbase, _clips(1, 8), holdout=3, batch_size=2)
     assert ev.n_pairs == 3
     score3 = ev.psnr(state)
     assert np.isfinite(score3)
@@ -54,7 +54,7 @@ def test_partial_tail_batch_is_padded_not_dropped():
     # contributed — check by constructing the 2-pair evaluator from the
     # same clip but holdout 2 pairs... instead assert against a manual
     # batch-1 evaluator over the same 3 pairs.
-    ev1 = HeldoutEvaluator(gbase, _clips(1, 8), holdout=3, batch_size=1)
+    ev1 = HeldoutEvaluator.for_gbase(gbase, _clips(1, 8), holdout=3, batch_size=1)
     # batch-stat BN makes scores batch-size-dependent in general, but at
     # batch sizes 1 vs 2-with-pad the SAME pairs are scored; the check
     # here is the count/NaN contract, not numeric equality.
@@ -64,7 +64,7 @@ def test_partial_tail_batch_is_padded_not_dropped():
 def test_no_pairs_returns_neg_inf_not_nan():
     gbase, state = _tiny_gbase_and_state()
     # Clips shorter than the holdout contribute nothing.
-    ev = HeldoutEvaluator(gbase, _clips(1, 3), holdout=4, batch_size=2)
+    ev = HeldoutEvaluator.for_gbase(gbase, _clips(1, 3), holdout=4, batch_size=2)
     assert ev.n_pairs == 0
     assert ev.psnr(state) == float("-inf")
     assert not np.isnan(ev.psnr(state))
@@ -72,7 +72,7 @@ def test_no_pairs_returns_neg_inf_not_nan():
 
 def test_consider_tracks_best_and_snapshots():
     gbase, state = _tiny_gbase_and_state()
-    ev = HeldoutEvaluator(gbase, _clips(2, 8), holdout=2, batch_size=2)
+    ev = HeldoutEvaluator.for_gbase(gbase, _clips(2, 8), holdout=2, batch_size=2)
     score, improved = ev.consider(state, step=10)
     assert improved and ev.best_step == 10 and ev.best_psnr == score
     assert ev.best_variables is not None
@@ -88,7 +88,36 @@ def test_consider_tracks_best_and_snapshots():
 
 def test_export_falls_back_to_current_state_without_best():
     gbase, state = _tiny_gbase_and_state()
-    ev = HeldoutEvaluator(gbase, _clips(1, 3), holdout=4, batch_size=2)
+    ev = HeldoutEvaluator.for_gbase(gbase, _clips(1, 3), holdout=4, batch_size=2)
     variables, step, is_best = ev.export_variables(state)
     assert not is_best and step == -1
     assert "params" in variables
+
+
+def test_for_genh_scores_against_native_hr_target():
+    """Stage-2 evaluator: base-size inputs through frozen Gbase + x2
+    pre-upscale + Genh, scored against the NATIVE-resolution tail frame
+    (mirrors the train_hr.py step composition)."""
+    from megaportraits_tpu.models.genh import Genh
+
+    size, upscale = 16, 2
+    gbase = Gbase(policy=FP32_POLICY, arch=TINY)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    gbase_vars = jax.jit(gbase.init)(jax.random.PRNGKey(0), x, x)
+
+    genh = Genh(policy=FP32_POLICY, arch=TINY)
+    xhr = jnp.zeros((2, size * upscale, size * upscale, 3), jnp.float32)
+    genh_vars = jax.jit(genh.init)(jax.random.PRNGKey(1), xhr)
+    state = _FakeState(genh_vars)
+
+    clips_hr = _clips(2, 8, size=size * upscale)
+    ev = HeldoutEvaluator.for_genh(
+        genh, gbase, gbase_vars, clips_hr, holdout=2, batch_size=2,
+        base_size=size, upscale=upscale,
+    )
+    assert ev.n_pairs == 4
+    # Targets kept at native HR resolution; inputs downsampled to base.
+    assert ev.tgt.shape[1] == size * upscale
+    assert ev.src.shape[1] == size
+    score, improved = ev.consider(state, step=5)
+    assert np.isfinite(score) and improved and ev.best_step == 5
