@@ -39,11 +39,17 @@ class HeldoutEvaluator:
         drv: np.ndarray,
         tgt: np.ndarray,
         batch_size: int,
+        burn_in: int = 0,
     ):
         self._fwd = fwd
         self.src, self.drv, self.tgt = src, drv, tgt
         self.n_pairs = int(src.shape[0]) if src.ndim > 1 else 0
         self.batch_size = batch_size
+        # Evals before `burn_in` steps are scored but never snapshotted:
+        # an early noise spike (observed: 12.27 dB at step 50 on a run
+        # whose plateau was ~11.8) would otherwise pin "best" to an
+        # undertrained model for the rest of the run.
+        self.burn_in = burn_in
         self.best_psnr: float = float("-inf")
         self.best_step: int = 0
         self.best_variables: Optional[dict] = None
@@ -65,7 +71,7 @@ class HeldoutEvaluator:
 
     @classmethod
     def for_gbase(cls, gbase, clips: Dict[str, np.ndarray], holdout: int,
-                  batch_size: int) -> "HeldoutEvaluator":
+                  batch_size: int, burn_in: int = 0) -> "HeldoutEvaluator":
         """Stage-1 self-reenactment: source = clip's first training frame,
         driving (and target) = each reserved tail frame."""
         pairs = cls._tail_pairs(clips, holdout)
@@ -79,7 +85,7 @@ class HeldoutEvaluator:
                 v, a, b, True, mutable=["batch_stats"]
             )[0][0]
         )
-        return cls(fwd, src, drv, drv, batch_size)
+        return cls(fwd, src, drv, drv, batch_size, burn_in=burn_in)
 
     @classmethod
     def for_genh(cls, genh, gbase, gbase_vars,
@@ -155,7 +161,7 @@ class HeldoutEvaluator:
     def consider(self, g_state, step: int) -> Tuple[float, bool]:
         """Evaluate; snapshot the variables when the score improves."""
         score = self.psnr(g_state)
-        improved = score > self.best_psnr
+        improved = score > self.best_psnr and step >= self.burn_in
         if improved:
             self.best_psnr, self.best_step = score, step
             self.best_variables = jax.device_get(

@@ -59,6 +59,12 @@ def main():
              "4-clip scale; VERDICT r3 item 1a)",
     )
     parser.add_argument(
+        "--eval-burn-in", type=int, default=0,
+        help="ignore held-out evals before this step when tracking the "
+             "best snapshot (guards early-stopping against an early "
+             "noise spike)",
+    )
+    parser.add_argument(
         "--holdout", type=int, default=4,
         help="frames reserved per clip as the held-out eval tail "
              "(excluded from training batches when --eval-every is set)",
@@ -127,7 +133,8 @@ def main():
             for vid in dataset.video_ids
         }
         evaluator = HeldoutEvaluator.for_gbase(gbase, clips, holdout,
-                                               args.batch)
+                                               args.batch,
+                                               burn_in=args.eval_burn_in)
         if not evaluator.n_pairs:
             print("WARNING: no held-out eval pairs — check --holdout "
                   "vs clip lengths", flush=True)
@@ -178,21 +185,32 @@ def main():
     if args.export:
         from megaportraits_tpu.core.checkpoint import CheckpointManager
 
+        final_variables = {"params": g_state.params}
+        if g_state.batch_stats is not None:
+            final_variables["batch_stats"] = g_state.batch_stats
         export_step = args.steps
+        g_variables = final_variables
         if evaluator is not None:
             g_variables, best_step, is_best = evaluator.export_variables(
                 g_state)
             if is_best:
                 export_step = best_step
-        else:
-            g_variables = {"params": g_state.params}
-            if g_state.batch_stats is not None:
-                g_variables["batch_stats"] = g_state.batch_stats
         mgr = CheckpointManager(args.export)
         mgr.save(export_step, {"g_variables": g_variables}, wait=True)
         mgr.close()
         print(f"exported trained Gbase (step {export_step}) to "
               f"{args.export}", flush=True)
+        if evaluator is not None and export_step != args.steps:
+            # A single early noise spike can pin "best" to an
+            # undertrained snapshot; keep the final state too so the
+            # visually-better endpoint is never discarded (the gallery
+            # chooses between them on evidence).
+            mgr = CheckpointManager(args.export.rstrip("/") + "_final")
+            mgr.save(args.steps, {"g_variables": final_variables},
+                     wait=True)
+            mgr.close()
+            print(f"exported FINAL-state Gbase (step {args.steps}) to "
+                  f"{args.export}_final", flush=True)
 
 
 if __name__ == "__main__":

@@ -157,6 +157,10 @@ def main():
     with open(os.path.join(args.out, "RESULTS.txt"), "w") as f:
         f.write(f"steps={args.steps} size={args.size} "
                 f"avatars={args.num_avatars}\n")
+        f.write(f"gbase_ckpt={args.gbase_ckpt or 'RANDOM-INIT'} "
+                f"genh_ckpt={args.genh_ckpt or 'none'} "
+                f"teacher={'GHR' if include_enh else 'Gbase-only'} "
+                f"teacher_bn_mode=batch\n")
         f.write("loss curve: " + ", ".join(
             f"{i}:{v:.5f}" for i, v in loss_curve) + "\n")
         for a, mse, lpips_val in rows:

@@ -121,3 +121,17 @@ def test_for_genh_scores_against_native_hr_target():
     assert ev.src.shape[1] == size
     score, improved = ev.consider(state, step=5)
     assert np.isfinite(score) and improved and ev.best_step == 5
+
+
+def test_burn_in_suppresses_early_best_snapshot():
+    """Evals before burn_in are scored but never pin the best snapshot
+    (guards early stopping against an early noise spike — observed:
+    12.27 dB at step 50 on a run whose plateau was ~11.8)."""
+    gbase, state = _tiny_gbase_and_state()
+    ev = HeldoutEvaluator.for_gbase(
+        gbase, _clips(2, 8), holdout=2, batch_size=2, burn_in=100)
+    score, improved = ev.consider(state, step=50)
+    assert np.isfinite(score) and not improved
+    assert ev.best_variables is None
+    score2, improved2 = ev.consider(state, step=100)
+    assert improved2 and ev.best_step == 100
