@@ -37,6 +37,13 @@ def main():
     parser.add_argument("--json-file",
                         default="/root/reference/data/overfit.json")
     parser.add_argument("--frames", type=int, default=8)
+    parser.add_argument(
+        "--sample-rate", type=int, default=10,
+        help="decode every Nth frame (the junk clips are 74-181 frames "
+             "at 24 fps; rate 5 with --frames 24 yields 15-24 frames/clip "
+             "— more per-clip diversity against the 4-clip overtraining "
+             "cliff than the rate-10 default's 8-19)",
+    )
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument(
         "--pool", type=int, default=0,
@@ -94,7 +101,7 @@ def main():
     t0 = time.time()
     dataset = EMODataset(
         width=args.size, height=args.size,
-        n_sample_frames=args.frames, sample_rate=10,
+        n_sample_frames=args.frames, sample_rate=args.sample_rate,
         video_dir=args.video_dir, json_file=args.json_file,
         cache_dir=cache,
     )
