@@ -180,6 +180,18 @@ def main():
             print(f"step {i + 1}: held-out self-PSNR {psnr:.2f} dB"
                   f"{'  <- best' if improved else ''} "
                   f"({time.time() - t0:.1f}s)", flush=True)
+            if improved and args.export:
+                # Export the best snapshot AS SOON as it improves, not
+                # only at the end — a tunnel outage mid-run must not
+                # lose the trained model (the axon service has died
+                # mid-session before; ROADMAP round 3).
+                from megaportraits_tpu.core.checkpoint import (
+                    CheckpointManager)
+
+                mgr = CheckpointManager(args.export)
+                mgr.save(i + 1, {"g_variables": evaluator.best_variables},
+                         wait=True)
+                mgr.close()
     final_g = float(metrics["loss_G"])
     print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "
           f"({'DECREASED' if final_g < first_g else 'NOT DECREASED'})",
@@ -203,7 +215,10 @@ def main():
             if is_best:
                 export_step = best_step
         mgr = CheckpointManager(args.export)
-        mgr.save(export_step, {"g_variables": g_variables}, wait=True)
+        if mgr.latest_step() != export_step:
+            # (the best snapshot may already be on disk from the
+            # incremental export above — don't double-save the step)
+            mgr.save(export_step, {"g_variables": g_variables}, wait=True)
         mgr.close()
         print(f"exported trained Gbase (step {export_step}) to "
               f"{args.export}", flush=True)
