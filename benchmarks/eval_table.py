@@ -165,10 +165,48 @@ def main():
                              pretrained_path=args.pretrained)
     cross_table = evaluate_metrics(cross_dir, cross_tgt_dir,
                                    pretrained_path=args.pretrained)
+
+    # Identity/memorization check (VERDICT r4 item 5): for every dumped
+    # prediction, which training clip is it nearest to (per-clip min-L1)?
+    # A cross output must stay nearest to its SOURCE-identity clip; a
+    # wrong-clip nearest is memorization/identity leakage that the pixel
+    # metrics above cannot see. Provider-free (pure pixel L1).
+    from megaportraits_tpu.eval.metrics import (
+        load_image, memorization_index,
+    )
+
+    all_clips = {
+        vid: ds.load_and_process_video(vid)["source_frames"]
+        for vid in ds.video_ids
+    }
+
+    def identity_report(dump_dir, expected_vid):
+        rows, match = [], 0
+        for fn in sorted(os.listdir(dump_dir)):
+            mi = memorization_index(load_image(os.path.join(dump_dir, fn)),
+                                    all_clips)
+            ok = mi["nearest_clip"] == expected_vid
+            match += ok
+            rows.append({"file": fn, "nearest_clip": mi["nearest_clip"],
+                         "nearest_l1": round(mi["nearest_l1"], 4),
+                         "margin_l1": round(mi["margin_l1"], 4),
+                         "identity_ok": bool(ok)})
+        n = max(len(rows), 1)
+        return {"expected_clip": expected_vid,
+                "identity_match_rate": round(match / n, 3), "rows": rows}
+
+    self_id = identity_report(pred_dir, ds.video_ids[0])
+    cross_id = identity_report(cross_dir, ds.video_ids[1])
+    table["identity_match_rate"] = self_id["identity_match_rate"]
+    cross_table["identity_match_rate"] = cross_id["identity_match_rate"]
+
     bundle_present = table.get("AED_formula") == "identity_embedding"
     print("self-reenactment:", json.dumps(table, indent=2))
     print("cross-reenactment (motion metrics only are meaningful):",
           json.dumps(cross_table, indent=2))
+    print("identity/memorization (nearest training clip per prediction):")
+    print("  self:", json.dumps(self_id, indent=2))
+    print("  cross:", json.dumps(cross_id, indent=2))
     if not bundle_present:
         print("caveat: no converted-weight bundle installed — AKD/AED use "
               "the face-box landmark proxy and LPIPS is unavailable "

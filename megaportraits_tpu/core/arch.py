@@ -42,6 +42,14 @@ class Arch:
     g3d_stages: int = 3                          # pools in the 3D U-Net
     vgg_stages: int = 0                          # 0 = all reference taps
     disc_stages: int = 4                         # model.py:1906-1914
+    # Norm flavor for the ResBlock2D family (the reference's only
+    # BatchNorm sites, model.py:600-640 — the G2d/Genh synthesis trunks).
+    # 'batch' = reference parity. 'group' = AffineGroupNorm(32): identical
+    # train/eval forward (no running-stats gap), no batch-composition
+    # sensitivity, DP-clean without sync-BN — the TPU-first choice
+    # sanctioned by SURVEY.md §7 (Hard parts #5). Emtn's resnet18/RepVGG
+    # backbones keep BN (pretrained-weight compatibility).
+    norm: str = "batch"
 
     def ch(self, c: int) -> int:
         """Scale a reference channel count."""

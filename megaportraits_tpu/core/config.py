@@ -112,11 +112,17 @@ class ModelConfig:
     # (model.py:1056-1058); 'standard' is textbook grid+flow.
     warp_normalize_mode: str = "reference"
     use_bf16: bool = True
+    # Norm flavor for the ResBlock2D family (G2d/Genh — the reference's
+    # only BatchNorm sites, model.py:600-640): 'batch' = reference parity,
+    # 'group' = AffineGroupNorm(32), identical train/eval forward. See
+    # core/arch.py and the round-5 GN-vs-BN comparison in
+    # benchmarks/RESULTS.md for the decision evidence.
+    norm: str = "batch"
 
     def parity(self) -> "ModelConfig":
         return dataclasses.replace(
             self, rotation_input_size=0, descriptor_input_size=0,
-            warp_normalize_mode="reference", use_bf16=False,
+            warp_normalize_mode="reference", use_bf16=False, norm="batch",
         )
 
 
@@ -150,7 +156,6 @@ class Config:
     def make_gbase(self, policy=None, remat: bool = False):
         """Construct Gbase from the model section (single source of truth
         for the parity-affecting knobs)."""
-        from megaportraits_tpu.core.arch import get_arch
         from megaportraits_tpu.core.dtypes import (
             DEFAULT_POLICY, FP32_POLICY,
         )
@@ -164,8 +169,16 @@ class Config:
             rotation_input_size=self.model.rotation_input_size,
             descriptor_input_size=self.model.descriptor_input_size,
             remat=remat,
-            arch=get_arch(self.model.arch),
+            arch=self.make_arch(),
         )
+
+    def make_arch(self):
+        """Arch preset with the config's norm decision applied."""
+        import dataclasses as _dc
+
+        from megaportraits_tpu.core.arch import get_arch
+
+        return _dc.replace(get_arch(self.model.arch), norm=self.model.norm)
 
 
 def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:

@@ -71,20 +71,32 @@ class HeldoutEvaluator:
 
     @classmethod
     def for_gbase(cls, gbase, clips: Dict[str, np.ndarray], holdout: int,
-                  batch_size: int, burn_in: int = 0) -> "HeldoutEvaluator":
+                  batch_size: int, burn_in: int = 0,
+                  bn_mode: str = "batch") -> "HeldoutEvaluator":
         """Stage-1 self-reenactment: source = clip's first training frame,
-        driving (and target) = each reserved tail frame."""
+        driving (and target) = each reserved tail frame.
+
+        bn_mode: 'batch' scores train-mode per-batch BN statistics (the
+        GAN-generator convention — see the class docstring); 'running'
+        scores the SERVING forward (eval mode, running stats) so the best
+        snapshot optimizes what inference actually runs (VERDICT r4 Weak
+        #5). 'running' is the right choice for norm='group' models, where
+        the generator forward is train/eval-identical and only Emtn's
+        backbone BN consumes running stats."""
         pairs = cls._tail_pairs(clips, holdout)
         if pairs:
             src = np.stack([p[0] for p in pairs])
             drv = np.stack([p[1] for p in pairs])
         else:
             src = drv = np.zeros((0,))
-        fwd = jax.jit(
-            lambda v, a, b: gbase.apply(
-                v, a, b, True, mutable=["batch_stats"]
-            )[0][0]
-        )
+        if bn_mode == "running":
+            fwd = jax.jit(lambda v, a, b: gbase.apply(v, a, b, False)[0])
+        else:
+            fwd = jax.jit(
+                lambda v, a, b: gbase.apply(
+                    v, a, b, True, mutable=["batch_stats"]
+                )[0][0]
+            )
         return cls(fwd, src, drv, drv, batch_size, burn_in=burn_in)
 
     @classmethod

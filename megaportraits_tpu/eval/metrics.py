@@ -84,16 +84,37 @@ def calculate_akd(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
     return float(np.mean(np.linalg.norm(kp - kt, axis=1)))
 
 
+def procrustes_shape_distance(a: np.ndarray, b: np.ndarray,
+                              eps: float = 1e-8) -> Optional[float]:
+    """Shape distance after full Procrustes alignment: translation, scale
+    and rotation are removed, so what remains measures landmark SHAPE
+    (expression/geometry) rather than raw pixel distance — the property
+    that makes AED a different metric from AKD (VERDICT r4 item 6: with
+    the raw formula AED == AKD by construction and carries no signal)."""
+    a = a.astype(np.float64) - a.mean(axis=0)
+    b = b.astype(np.float64) - b.mean(axis=0)
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na < eps or nb < eps:
+        return None
+    a, b = a / na, b / nb
+    u, _, vt = np.linalg.svd(a.T @ b)
+    r = u @ vt
+    return float(np.linalg.norm(a @ r - b))
+
+
 def calculate_aed(
     pred: np.ndarray, target: np.ndarray, embedding_apply=None
 ) -> Optional[float]:
-    """Average Euclidean distance.
+    """Average embedding distance.
 
     With `embedding_apply` ([1,H,W,3] in [0,1] -> [1,D] identity embedding,
     e.g. the InceptionResnetV1 port), AED is the identity-embedding L2 —
-    the FOMM-convention metric, distinct from AKD. Without it, falls back
-    to the landmark formula, which is what the reference's own AED computes
-    (metrics.py:28-34)."""
+    the FOMM-convention metric. Without it, falls back to the Procrustes
+    landmark-SHAPE distance (expression geometry, pose/scale removed) so
+    it never degenerates to AKD's raw pixel formula. Caveat: with the
+    5-point box proxy provider, all boxes are the same rectangle up to
+    similarity, so the fallback is near-constant zero — the table labels
+    this via 'AED_formula' and the provider provenance row."""
     if embedding_apply is not None:
         import jax.numpy as jnp
 
@@ -102,7 +123,41 @@ def calculate_aed(
             embedding_apply(jnp.asarray(target, jnp.float32)[None])
         )
         return float(np.linalg.norm(ep[0] - et[0]))
-    return calculate_akd(pred, target)
+    kp, kt = extract_keypoints(pred), extract_keypoints(target)
+    if kp is None or kt is None or kp.shape != kt.shape:
+        return None
+    return procrustes_shape_distance(kp, kt)
+
+
+def memorization_index(
+    pred: np.ndarray, clips: Dict[str, np.ndarray]
+) -> Dict[str, object]:
+    """Which training clip is this image closest to (per-clip min mean-L1)?
+
+    The committed-evidence failure this catches (VERDICT r4 item 5): a
+    cross-reenactment output that is a memorized frame of the WRONG clip
+    scores fine on every pixel metric vs its driving frame. Reporting the
+    nearest training clip per prediction makes identity leakage visible
+    with no pretrained weights required. Returns {'nearest_clip',
+    'nearest_l1', 'margin_l1' (runner-up minus nearest; small margin =
+    ambiguous), 'per_clip' (vid -> min L1)}."""
+    p = pred.astype(np.float32)
+    per_clip: Dict[str, float] = {}
+    for vid, frames in clips.items():
+        f = np.asarray(frames, dtype=np.float32)
+        per_clip[vid] = float(
+            np.min(np.mean(np.abs(f - p[None]), axis=(1, 2, 3)))
+        )
+    ranked = sorted(per_clip, key=per_clip.get)
+    nearest = ranked[0]
+    margin = (per_clip[ranked[1]] - per_clip[nearest]
+              if len(ranked) > 1 else float("inf"))
+    return {
+        "nearest_clip": nearest,
+        "nearest_l1": per_clip[nearest],
+        "margin_l1": float(margin),
+        "per_clip": per_clip,
+    }
 
 
 def calculate_fid(real_features: np.ndarray, fake_features: np.ndarray) -> float:
@@ -197,9 +252,9 @@ def evaluate_metrics(
 
     AKD uses the installed landmark provider (68-point FAN when available);
     AED uses `embedding_apply` identity embeddings when given, else the
-    reference's landmark formula — the returned dict carries an
-    'AED_formula' key ('identity_embedding' | 'landmark_proxy') so the two
-    are never conflated downstream (advisor finding, round 2). When neither
+    Procrustes landmark-shape distance — the returned dict carries an
+    'AED_formula' key ('identity_embedding' | 'procrustes_landmark_shape')
+    so the two are never conflated downstream (advisor finding, round 2). When neither
     callable is passed, a converted bundle at `pretrained_path` is
     auto-installed (vggface AED embedding, LPIPS, FAN landmarks). Skips
     pairs with no detected face, like the reference (metrics.py:31-34)."""
@@ -214,7 +269,8 @@ def evaluate_metrics(
             f"{'REAL (vgg16+lin heads)' if lpips_apply else 'absent -> None'}"
             f", AED "
             + ("identity_embedding (vggface)" if embedding_apply
-               else "landmark_proxy formula")
+               else "procrustes landmark-shape (near-constant under the "
+                    "box proxy — see AKD_provider)")
         )
     scores: Dict[str, list] = {k: [] for k in
                                ("L1", "LPIPS", "PSNR", "SSIM", "AKD", "AED")}
@@ -243,7 +299,7 @@ def evaluate_metrics(
     }
     out["AED_formula"] = (
         "identity_embedding" if embedding_apply is not None
-        else "landmark_proxy"
+        else "procrustes_landmark_shape"
     )
     # Landmark-provider provenance: a center-prior fallback returns the
     # SAME constant box for any undetected face, so a pair where both

@@ -36,10 +36,11 @@ class G2d(nn.Module):
         a = self.arch
         x = TorchConv(a.ch(1536), (1, 1), policy=p, name="reshape_conv")(x)
         x = TorchConv(a.ch(512), (1, 1), policy=p, name="conv1x1")(x)
-        trunk = [ResBlock2D(a.ch(512), policy=p, name=f"res{i}")
+        trunk = [ResBlock2D(a.ch(512), policy=p, norm=a.norm,
+                             name=f"res{i}")
                  for i in range(a.g2d_blocks)]
         chain_ok = (
-            self.use_chain_kernel and not train
+            self.use_chain_kernel and not train and a.norm == "batch"
             and not self.is_initializing()
             and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
         )
@@ -68,11 +69,14 @@ class G2d(nn.Module):
             for blk in trunk:
                 x = blk(x, train)
         x = _up2(x)
-        x = ResBlock2D(a.ch(256), policy=p, name="up1")(x, train)
+        x = ResBlock2D(a.ch(256), policy=p, norm=a.norm,
+                       name="up1")(x, train)
         x = _up2(x)
-        x = ResBlock2D(a.ch(128), policy=p, name="up2")(x, train)
+        x = ResBlock2D(a.ch(128), policy=p, norm=a.norm,
+                       name="up2")(x, train)
         x = _up2(x)
-        x = ResBlock2D(a.ch(64), policy=p, name="up3")(x, train)
+        x = ResBlock2D(a.ch(64), policy=p, norm=a.norm,
+                       name="up3")(x, train)
         x = GroupNorm32()(x)
         x = nn.relu(x)
         x = TorchConv(3, (3, 3), padding=1, policy=p, name="final_conv")(x)

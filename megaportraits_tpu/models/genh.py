@@ -41,21 +41,21 @@ class Genh(nn.Module):
         n_mid = 8 if a.width_div <= 1 else a.g2d_blocks
         x = p.cast_to_compute(x)
         x = TorchConv(c, (7, 7), padding=3, policy=p, name="enc_conv")(x)
-        x = ResBlock2D(c, policy=p, name="enc_res0")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="enc_res0")(x, train)
         x = avg_pool_2d(x)
-        x = ResBlock2D(c, policy=p, name="enc_res1")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="enc_res1")(x, train)
         x = avg_pool_2d(x)
-        x = ResBlock2D(c, policy=p, name="enc_res2")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="enc_res2")(x, train)
         x = avg_pool_2d(x)
-        x = ResBlock2D(c, policy=p, name="enc_res3")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="enc_res3")(x, train)
         for i in range(n_mid):
-            x = ResBlock2D(c, policy=p, name=f"mid_res{i}")(x, train)
+            x = ResBlock2D(c, policy=p, norm=a.norm, name=f"mid_res{i}")(x, train)
         x = _up2(x)
-        x = ResBlock2D(c, policy=p, name="dec_res0")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="dec_res0")(x, train)
         x = _up2(x)
-        x = ResBlock2D(c, policy=p, name="dec_res1")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="dec_res1")(x, train)
         x = _up2(x)
-        x = ResBlock2D(c, policy=p, name="dec_res2")(x, train)
+        x = ResBlock2D(c, policy=p, norm=a.norm, name="dec_res2")(x, train)
         x = TorchConv(3, (7, 7), padding=3, policy=p, name="dec_conv")(x)
         return jnp.tanh(x.astype(jnp.float32))
 

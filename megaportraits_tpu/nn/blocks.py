@@ -227,6 +227,11 @@ class ResBlock2D(nn.Module):
     policy: Policy = DEFAULT_POLICY
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    # 'batch' = reference BatchNorm parity (model.py:600-640).
+    # 'group' = AffineGroupNorm(32): train == eval forward (no running
+    # stats, no train/eval gap, no batch-composition sensitivity) — the
+    # TPU-first norm decision (SURVEY.md §7 Hard parts #5, core/arch.py).
+    norm: str = "batch"
 
     def _conv_params(self, name, kh, kw, cin, cout):
         from megaportraits_tpu.nn.layers import (
@@ -280,7 +285,7 @@ class ResBlock2D(nn.Module):
     def _eligible(self, x) -> bool:
         b, h, w, c = x.shape
         f = self.out_channels
-        if not self.use_pallas or self.downsample:
+        if not self.use_pallas or self.downsample or self.norm != "batch":
             return False
         # whole padded input + output + weights must sit in VMEM comfortably
         bytes_in = h * w * max(c, f) * 2
@@ -300,6 +305,9 @@ class ResBlock2D(nn.Module):
         valid for same-channel, non-downsample blocks (the G2d trunk)."""
         in_channels = x.shape[-1]
         f = self.out_channels
+        if self.norm == "group":
+            assert not chain_params, "chain kernel needs folded BN stats"
+            return self._forward_gn(x, train)
         k1, b1 = self._conv_params("conv1", 3, 3, in_channels, f)
         bn1 = self._bn_params("bn1", f)
         k2, b2 = self._conv_params("conv2", 3, 3, f, f)
@@ -347,6 +355,34 @@ class ResBlock2D(nn.Module):
         out = _relu(out)
         out = self._conv(out, k2, b2)
         out = self._bn_apply(out, bn2[0], bn2[1], bn2[2], bn2[3], train)
+        return _relu(out + identity)
+
+    def _forward_gn(self, x, train):
+        """GroupNorm variant: same conv topology and param names, norms
+        swapped for AffineGroupNorm(32) — `train` is irrelevant (GN has no
+        batch statistics), accepted for call-site compatibility."""
+        del train
+        in_channels = x.shape[-1]
+        f = self.out_channels
+        k1, b1 = self._conv_params("conv1", 3, 3, in_channels, f)
+        k2, b2 = self._conv_params("conv2", 3, 3, f, f)
+        identity = x
+        if self.downsample:
+            ks, bs = self._conv_params("downsample_conv", 1, 1,
+                                       in_channels, f)
+            identity = self._conv(x, ks, bs, stride=2)
+            identity = AffineGroupNorm(policy=self.policy,
+                                       name="downsample_gn")(identity)
+        elif in_channels != f:
+            ks, bs = self._conv_params("shortcut_conv", 1, 1, in_channels, f)
+            identity = self._conv(x, ks, bs, stride=1)
+            identity = AffineGroupNorm(policy=self.policy,
+                                       name="shortcut_gn")(identity)
+        out = self._conv(x, k1, b1)
+        out = AffineGroupNorm(policy=self.policy, name="gn1")(out)
+        out = _relu(out)
+        out = self._conv(out, k2, b2)
+        out = AffineGroupNorm(policy=self.policy, name="gn2")(out)
         return _relu(out + identity)
 
     def _conv(self, x, kernel, bias, stride: int = 1):

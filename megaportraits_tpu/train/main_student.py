@@ -39,9 +39,7 @@ def train_student(cfg: Config, max_steps: int | None = None,
     rng = jax.random.PRNGKey(cfg.training.seed)
     size = cfg.data.train_width
 
-    from megaportraits_tpu.core.arch import get_arch
-
-    teacher = GHR(policy=policy, arch=get_arch(cfg.model.arch))
+    teacher = GHR(policy=policy, arch=cfg.make_arch())
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
     teacher_vars = jax.jit(teacher.init)(rng, dummy, dummy)
     if teacher_ckpt:

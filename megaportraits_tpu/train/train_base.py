@@ -87,9 +87,7 @@ def init_states(
     # FLOPs than blanket remat (benchmarks/RESULTS.md round 2).
     if remat_mode is None:
         remat_mode = "selective" if size >= 256 else "none"
-    from megaportraits_tpu.core.arch import get_arch
-
-    arch = get_arch(cfg.model.arch)
+    arch = cfg.make_arch()
     gbase = cfg.make_gbase(policy=policy, remat=remat_mode)
     disc = Discriminator(policy=policy, arch=arch)
     # Weights pinned to the reference ctor (model.py:1929):

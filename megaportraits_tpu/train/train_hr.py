@@ -29,9 +29,7 @@ from megaportraits_tpu.train.state import TrainState, make_optimizer
 
 def init_hr_state(cfg: Config, rng: jax.Array, policy: Policy = DEFAULT_POLICY,
                   image_size: int = 512, upscale: int = 2):
-    from megaportraits_tpu.core.arch import get_arch
-
-    arch = get_arch(cfg.model.arch)
+    arch = cfg.make_arch()
     genh = Genh(policy=policy, arch=arch)
     k1, k2 = jax.random.split(rng)
     dummy = jnp.zeros((1, image_size * upscale, image_size * upscale, 3),

@@ -25,10 +25,8 @@ def init_student_state(
     cfg: Config, rng: jax.Array, policy: Policy = DEFAULT_POLICY,
     image_size: int = 512,
 ):
-    from megaportraits_tpu.core.arch import get_arch
-
     student = Student(num_avatars=cfg.training.num_avatars, policy=policy,
-                      arch=get_arch(cfg.model.arch))
+                      arch=cfg.make_arch())
     dummy = jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype)
     idx = jnp.zeros((1,), jnp.int32)
     variables = jax.jit(student.init)(rng, dummy, idx)

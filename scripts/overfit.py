@@ -66,6 +66,13 @@ def main():
              "4-clip scale; VERDICT r3 item 1a)",
     )
     parser.add_argument(
+        "--eval-bn-mode", choices=["batch", "running"], default="batch",
+        help="held-out eval forward convention: 'batch' = train-mode BN "
+             "stats (GAN-generator convention), 'running' = the SERVING "
+             "forward (eval mode) — use with --norm group, where the "
+             "generator has no train/eval gap (VERDICT r4 Weak #5)",
+    )
+    parser.add_argument(
         "--eval-burn-in", type=int, default=0,
         help="ignore held-out evals before this step when tracking the "
              "best snapshot (guards early-stopping against an early "
@@ -75,6 +82,18 @@ def main():
         "--holdout", type=int, default=4,
         help="frames reserved per clip as the held-out eval tail "
              "(excluded from training batches when --eval-every is set)",
+    )
+    parser.add_argument(
+        "--norm", choices=["batch", "group"], default="batch",
+        help="ResBlock2D norm flavor (core/arch.py): 'batch' = reference "
+             "BN parity, 'group' = AffineGroupNorm(32) — identical "
+             "train/eval forward, no running-stats gap (the round-5 "
+             "GN-vs-BN decision study)",
+    )
+    parser.add_argument(
+        "--export-clean", action="store_true",
+        help="wipe a non-empty --export dir at startup instead of "
+             "refusing (a leftover step would shadow this run's export)",
     )
     parser.add_argument(
         "--all-clips", action="store_true",
@@ -114,6 +133,31 @@ def main():
     cfg.data.train_width = cfg.data.train_height = args.size
     cfg.training.steps_per_epoch = args.steps
     cfg.training.lr = 3e-5
+    cfg.model.norm = args.norm
+
+    # Export-dir discipline (ADVICE r4): ONE manager for the whole run,
+    # opened up front; a non-empty dir is refused (or wiped with
+    # --export-clean) so a previous run's steps can neither collide with
+    # incremental saves (StepAlreadyExistsError mid-run) nor shadow this
+    # run's result at restore time.
+    export_mgr = None
+    last_saved_step = None
+    if args.export:
+        from megaportraits_tpu.core.checkpoint import CheckpointManager
+
+        export_mgr = CheckpointManager(args.export)
+        if export_mgr.latest_step() is not None:
+            if not args.export_clean:
+                sys.exit(
+                    f"--export dir {args.export} already holds step "
+                    f"{export_mgr.latest_step()}; pass --export-clean to "
+                    f"wipe it or choose a fresh dir"
+                )
+            import shutil
+
+            export_mgr.close()
+            shutil.rmtree(args.export)
+            export_mgr = CheckpointManager(args.export)
 
     gbase, disc, ploss, p_vars, g_state, d_state = init_states(
         cfg, jax.random.PRNGKey(0), policy=DEFAULT_POLICY,
@@ -141,7 +185,8 @@ def main():
         }
         evaluator = HeldoutEvaluator.for_gbase(gbase, clips, holdout,
                                                args.batch,
-                                               burn_in=args.eval_burn_in)
+                                               burn_in=args.eval_burn_in,
+                                               bn_mode=args.eval_bn_mode)
         if not evaluator.n_pairs:
             print("WARNING: no held-out eval pairs — check --holdout "
                   "vs clip lengths", flush=True)
@@ -180,18 +225,16 @@ def main():
             print(f"step {i + 1}: held-out self-PSNR {psnr:.2f} dB"
                   f"{'  <- best' if improved else ''} "
                   f"({time.time() - t0:.1f}s)", flush=True)
-            if improved and args.export:
+            if improved and export_mgr is not None:
                 # Export the best snapshot AS SOON as it improves, not
                 # only at the end — a tunnel outage mid-run must not
                 # lose the trained model (the axon service has died
-                # mid-session before; ROADMAP round 3).
-                from megaportraits_tpu.core.checkpoint import (
-                    CheckpointManager)
-
-                mgr = CheckpointManager(args.export)
-                mgr.save(i + 1, {"g_variables": evaluator.best_variables},
-                         wait=True)
-                mgr.close()
+                # mid-session before; ROADMAP round 3). Async save: the
+                # snapshot is already host-resident numpy (device_get in
+                # consider()), so training continues while Orbax writes.
+                export_mgr.save(i + 1,
+                                {"g_variables": evaluator.best_variables})
+                last_saved_step = i + 1
     final_g = float(metrics["loss_G"])
     print(f"loss_G: {first_g:.4f} -> {final_g:.4f} "
           f"({'DECREASED' if final_g < first_g else 'NOT DECREASED'})",
@@ -201,7 +244,7 @@ def main():
               f"step {evaluator.best_step} (exporting THAT snapshot)",
               flush=True)
 
-    if args.export:
+    if export_mgr is not None:
         from megaportraits_tpu.core.checkpoint import CheckpointManager
 
         final_variables = {"params": g_state.params}
@@ -214,12 +257,13 @@ def main():
                 g_state)
             if is_best:
                 export_step = best_step
-        mgr = CheckpointManager(args.export)
-        if mgr.latest_step() != export_step:
-            # (the best snapshot may already be on disk from the
-            # incremental export above — don't double-save the step)
-            mgr.save(export_step, {"g_variables": g_variables}, wait=True)
-        mgr.close()
+        if last_saved_step != export_step:
+            # Guard on what THIS RUN wrote (ADVICE r4: a disk-state guard
+            # can mistake a previous run's step for this run's save and
+            # silently skip exporting the new weights).
+            export_mgr.save(export_step, {"g_variables": g_variables},
+                            wait=True)
+        export_mgr.close()
         print(f"exported trained Gbase (step {export_step}) to "
               f"{args.export}", flush=True)
         if evaluator is not None and export_step != args.steps:
