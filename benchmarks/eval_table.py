@@ -46,6 +46,9 @@ def main():
                     help="BatchNorm stats for the forwards (see "
                          "stage1_gallery.py --bn-mode; 'batch' for "
                          "small-batch-trained checkpoints)")
+    ap.add_argument("--norm", choices=["batch", "group"], default="batch",
+                    help="must match the checkpoint's ResBlock2D norm "
+                         "flavor (scripts/overfit.py --norm)")
     ap.add_argument("--fp32", action="store_true",
                     help="fp32 forwards (CPU hosts; bf16 full-arch "
                          "forwards crash the remote compile service "
@@ -65,6 +68,7 @@ def main():
     t0 = time.time()
     cfg = Config()
     cfg.data.train_width = cfg.data.train_height = args.size
+    cfg.model.norm = args.norm
     policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
     gbase = cfg.make_gbase(policy=policy)
     dummy = jnp.zeros((1, args.size, args.size, 3), policy.compute_dtype)

@@ -59,6 +59,9 @@ def main():
                     help="fp32 forwards (use on CPU hosts: the axon "
                          "remote compile service crashes on bf16 full-"
                          "arch forwards at 128-256px — memory note)")
+    ap.add_argument("--norm", choices=["batch", "group"], default="batch",
+                    help="must match the checkpoint's ResBlock2D norm "
+                         "flavor (scripts/overfit.py --norm)")
     ap.add_argument("--eval-batch", type=int, default=1,
                     help="batch DIVERSE pairs (round-robin across clips) "
                          "per forward in bn_mode=batch: the trained "
@@ -93,6 +96,7 @@ def main():
     size = args.size
     cfg = Config()
     cfg.data.train_width = cfg.data.train_height = size
+    cfg.model.norm = args.norm
     policy = FP32_POLICY if args.fp32 else DEFAULT_POLICY
     gbase = cfg.make_gbase(policy=policy)
     dummy = jnp.zeros((1, size, size, 3), policy.compute_dtype)
@@ -192,7 +196,8 @@ def main():
         f"stage-1 quality gallery — checkpoint {ckpt_path} (step {ckpt_step})",
         f"size {size}, recalibrate {args.recalibrate}, holdout "
         f"{args.holdout}, policy {'fp32' if args.fp32 else 'bf16'}, "
-        f"bn_mode {args.bn_mode}, eval_batch {args.eval_batch}",
+        f"norm {args.norm}, bn_mode {args.bn_mode}, "
+        f"eval_batch {args.eval_batch}",
         "layout: source | driving | prediction",
         "",
     ]

@@ -49,6 +49,15 @@ def main():
              "real reenactment distribution, not random-init noise "
              "(VERDICT r2 weak #2)",
     )
+    ap.add_argument("--norm", choices=["batch", "group"], default="batch",
+                    help="teacher Gbase/Genh ResBlock2D norm flavor — "
+                         "must match the grafted checkpoints "
+                         "(scripts/overfit.py --norm)")
+    ap.add_argument("--teacher-bn-mode", choices=["batch", "running"],
+                    default="batch",
+                    help="teacher forward convention; 'running' (serving "
+                         "convention) is right for norm=group teachers, "
+                         "whose generator has no train/eval gap")
     ap.add_argument(
         "--genh-ckpt", default="",
         help="Orbax export of a TRAINED Genh ({'genh_variables': ...}, "
@@ -72,6 +81,7 @@ def main():
     )
 
     cfg = Config()
+    cfg.model.norm = args.norm
     cfg.data.train_width = cfg.data.train_height = args.size
     cfg.training.steps_per_epoch = args.steps
     cfg.training.student_epochs = 1
@@ -90,7 +100,7 @@ def main():
     # remote compile service at 128-256px (7/7 attempts; the fp32 graph
     # compiles) — and fp32 targets are the higher-fidelity distillation
     # reference anyway. The student itself stays bf16.
-    teacher = GHR(policy=FP32_POLICY)
+    teacher = GHR(policy=FP32_POLICY, arch=cfg.make_arch())
     dummy = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     t_vars = jax.jit(teacher.init)(rng, dummy, dummy)
     if args.gbase_ckpt:
@@ -110,7 +120,7 @@ def main():
     # cause of round 3's gray targets, besides the random Genh).
     teacher_fwd = make_teacher_forward(teacher, t_vars,
                                        include_enh=include_enh,
-                                       bn_mode="batch")
+                                       bn_mode=args.teacher_bn_mode)
 
     rngn = np.random.default_rng(0)
     t0 = time.time()
@@ -160,7 +170,8 @@ def main():
         f.write(f"gbase_ckpt={args.gbase_ckpt or 'RANDOM-INIT'} "
                 f"genh_ckpt={args.genh_ckpt or 'none'} "
                 f"teacher={'GHR' if include_enh else 'Gbase-only'} "
-                f"teacher_bn_mode=batch\n")
+                f"norm={args.norm} "
+                f"teacher_bn_mode={args.teacher_bn_mode}\n")
         f.write("loss curve: " + ", ".join(
             f"{i}:{v:.5f}" for i, v in loss_curve) + "\n")
         for a, mse, lpips_val in rows:
