@@ -69,3 +69,29 @@ def test_memorization_index_clean_prediction_matches_source():
     # a faithful self-reenactment ~ interpolation of source frames
     pred = clips["src"][:2].mean(axis=0)
     assert memorization_index(pred, clips)["nearest_clip"] == "src"
+
+
+def test_triptych_split_and_expected_identity_roundtrip():
+    """benchmarks/memorization_check.py panel math: a triptych built
+    from clip frames must yield the right expected identity from its
+    source panel and flag a prediction panel taken from another clip."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from memorization_check import split_triptych
+
+    rng = np.random.default_rng(0)
+    clips = {
+        "a": rng.random((3, 16, 16, 3), dtype=np.float32),
+        "b": rng.random((3, 16, 16, 3), dtype=np.float32),
+    }
+    src, drv = clips["a"][0], clips["a"][1]
+    leaked_pred = clips["b"][2]  # wrong-clip content
+    trip = np.concatenate([src, drv, leaked_pred], axis=1)
+    s, d, p = split_triptych(trip)
+    assert s.shape == d.shape == p.shape == (16, 16, 3)
+    np.testing.assert_array_equal(s, src)
+    np.testing.assert_array_equal(p, leaked_pred)
+    expected = memorization_index(s, clips)["nearest_clip"]
+    got = memorization_index(p, clips)["nearest_clip"]
+    assert expected == "a" and got == "b"  # leak flagged
