@@ -48,6 +48,10 @@ def main():
         help="Orbax export dir for the trained Genh "
              "({'genh_variables': ...}; feeds validate_student --genh-ckpt)",
     )
+    ap.add_argument("--norm", choices=["batch", "group"], default="batch",
+                    help="ResBlock2D norm flavor for BOTH the restored "
+                         "Gbase and the Genh trained here — must match "
+                         "the checkpoint (scripts/overfit.py --norm)")
     args = ap.parse_args()
 
     import cv2
@@ -70,6 +74,7 @@ def main():
     hr_size = size * up
     cfg = Config()
     cfg.data.train_width = cfg.data.train_height = size
+    cfg.model.norm = args.norm
     cfg.training.steps_per_epoch = args.steps
     cfg.training.hr_epochs = 1
     cfg.training.lr = args.lr
@@ -171,6 +176,7 @@ def main():
 
     with open(os.path.join(args.out, "RESULTS.txt"), "w") as f:
         f.write(f"steps={args.steps} base={size} hr={hr_size} "
+                f"norm={args.norm} gbase_ckpt={args.gbase_ckpt} "
                 f"(native-res supervision)\n")
         for r in rows:
             line = (f"frame {r['frame']}: PSNR bilinear {r['psnr_bilinear']:.2f}"
